@@ -1,0 +1,19 @@
+from .resize import affine_resize, resize_symmetric, tf_resize_images
+from .preprocess import (
+    normalize_image,
+    clamp_label,
+    one_hot,
+    prepare_batch,
+    host_prepare_sample,
+)
+
+__all__ = [
+    "affine_resize",
+    "resize_symmetric",
+    "tf_resize_images",
+    "normalize_image",
+    "clamp_label",
+    "one_hot",
+    "prepare_batch",
+    "host_prepare_sample",
+]

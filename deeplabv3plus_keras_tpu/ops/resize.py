@@ -1,0 +1,186 @@
+"""Resize kernels.
+
+Two distinct bilinear-resize conventions exist in the reference and must not
+be conflated:
+
+1. **Data-path resize** — ``resize()`` (reference semantic_segmentation.py:
+   130-197) uses ``scipy.ndimage.affine_transform`` with matrix
+   ``diag(h_in/h_out, w_in/w_out, 1)``, ``order=1``: a *corner-anchored*
+   bilinear sample ``out[i, j] = in[i * h_in/h_out, j * w_in/w_out]``.  The
+   GPU path is CuPy with identical semantics (:173-195).  Here both collapse
+   into one jittable gather-based implementation (`affine_resize`) that runs
+   on TPU or CPU.
+
+2. **In-model resize** — ``K.resize_images(..., interpolation='bilinear')``
+   (reference :841-908, :941-950) which is TF2's half-pixel-centers bilinear;
+   matched by ``jax.image.resize(method='linear')`` (`tf_resize_images`).
+
+`resize_symmetric` mirrors ``resize_image_to_target_symmeric_size``
+(reference :200-280) including its behavioral quirks:
+
+- the short side is scaled with ``int()`` truncation (:225, :255);
+- odd pad: the *height* branch puts the extra row at the bottom (:230-233)
+  but the *width* branch passes ``(pad_r, pad_l)`` to ``np.pad`` (:266), so
+  the extra column lands on the *left*;
+- the scale-down resize uses boundary mode 'nearest' (clamp) (:235, :263).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_coords(out_size: int, in_size, mode: str):
+    """Source coordinates + neighbor indices/weights for one axis.
+
+    ``in_size`` may be a traced value (dynamic-canvas path); ``out_size`` is
+    static.  Returns (i0, i1, w1, valid) where the sample is
+    ``(1-w1)*x[i0] + w1*x[i1]`` and ``valid`` masks samples whose source
+    coordinate lies inside scipy's 'constant'-mode support.
+    """
+    scale = in_size / out_size  # corner-anchored: src = i * in/out
+    src = jnp.arange(out_size, dtype=jnp.float32) * scale
+    i0f = jnp.floor(src)
+    w1 = src - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = i0 + 1
+    last = jnp.asarray(in_size - 1, dtype=jnp.int32)
+    if mode == "nearest":
+        # Clamp: out-of-range neighbors replicate the edge.
+        i0c = jnp.clip(i0, 0, last)
+        i1c = jnp.clip(i1, 0, last)
+        valid = jnp.ones((out_size,), dtype=bool)
+        return i0c, i1c, w1, valid
+    elif mode == "constant":
+        # scipy 'constant': neighbors beyond the edge contribute cval (0);
+        # samples whose coordinate is entirely outside [0, n-1] are cval.
+        in_range0 = (i0 >= 0) & (i0 <= last)
+        in_range1 = (i1 >= 0) & (i1 <= last)
+        i0c = jnp.clip(i0, 0, last)
+        i1c = jnp.clip(i1, 0, last)
+        # Encode neighbor validity by zeroing its weight contribution.
+        w0 = (1.0 - w1) * in_range0
+        w1v = w1 * in_range1
+        # Renormalization is NOT performed (scipy zero-pads, not renorm).
+        # Pack: we return adjusted weights via (w0, w1v); reuse signature by
+        # returning w1v and stashing w0 through `valid` being float here.
+        return i0c, i1c, (w0, w1v), (src >= 0) & (src <= in_size - 1 + 1e-6)
+    else:
+        raise ValueError(f"unknown boundary mode {mode!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "mode"))
+def affine_resize(image: jax.Array, out_h: int, out_w: int, mode: str = "constant"):
+    """Corner-anchored bilinear resize (scipy ``affine_transform`` order=1).
+
+    Mirrors reference ``resize(image, (w, h), mode)`` (semantic_segmentation
+    .py:130-197): ``out[i, j] = in[i * h_in/h_out, j * w_in/w_out]`` with
+    boundary handling per ``mode`` ('constant' → zeros, 'nearest' → clamp).
+
+    image: (H, W, C) array, any float/int dtype. Output keeps input dtype
+    (integer inputs are rounded, as scipy does).
+    """
+    in_h, in_w = image.shape[0], image.shape[1]
+    orig_dtype = image.dtype
+    img = image.astype(jnp.float32)
+
+    if mode == "nearest":
+        y0, y1, wy, _ = _axis_coords(out_h, in_h, "nearest")
+        x0, x1, wx, _ = _axis_coords(out_w, in_w, "nearest")
+        top = img[y0]  # (out_h, W, C)
+        bot = img[y1]
+        col = top * (1.0 - wy)[:, None, None] + bot * wy[:, None, None]
+        left = col[:, x0]
+        right = col[:, x1]
+        out = left * (1.0 - wx)[None, :, None] + right * wx[None, :, None]
+    else:
+        y0, y1, (wy0, wy1), vy = _axis_coords(out_h, in_h, "constant")
+        x0, x1, (wx0, wx1), vx = _axis_coords(out_w, in_w, "constant")
+        col = img[y0] * wy0[:, None, None] + img[y1] * wy1[:, None, None]
+        out = col[:, x0] * wx0[None, :, None] + col[:, x1] * wx1[None, :, None]
+        out = out * (vy[:, None, None] & vx[None, :, None])
+
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        out = jnp.rint(out)
+    return out.astype(orig_dtype)
+
+
+def symmetric_geometry(h: int, w: int, size: int):
+    """Target geometry of the reference's symmetric resize (:218-266).
+
+    Returns (h_p, w_p, pad_top, pad_left, pad_bottom, pad_right) where the
+    pads are the *applied* amounts (including the reference's width-branch
+    quirk of padding the extra odd column on the left, :266).
+    Works on Python ints or traced ints.
+    """
+    import numpy as np
+
+    is_static = isinstance(h, (int, np.integer)) and isinstance(w, (int, np.integer))
+    if is_static:
+        if w >= h:
+            w_p = size
+            h_p = int(h / w * size)
+            pad = size - h_p
+            pad_t, pad_b = pad // 2, pad - pad // 2  # extra row at bottom
+            pad_l = pad_r = 0
+        else:
+            h_p = size
+            w_p = int(w / h * size)
+            pad = size - w_p
+            # reference returns pad_l=pad//2, pad_r=pad//2+1 but APPLIES
+            # np.pad((pad_r, pad_l)) → extra column on the LEFT (:266)
+            pad_l, pad_r = pad - pad // 2, pad // 2
+            pad_t = pad_b = 0
+        return h_p, w_p, pad_t, pad_l, pad_b, pad_r
+    # Traced version for the on-device dynamic pipeline.
+    h = jnp.asarray(h, jnp.int32)
+    w = jnp.asarray(w, jnp.int32)
+    wide = w >= h
+    long_side = jnp.maximum(h, w).astype(jnp.float32)
+    short_side = jnp.minimum(h, w).astype(jnp.float32)
+    scaled_short = (short_side / long_side * size).astype(jnp.int32)  # trunc
+    pad = size - scaled_short
+    h_p = jnp.where(wide, scaled_short, size)
+    w_p = jnp.where(wide, size, scaled_short)
+    pad_t = jnp.where(wide, pad // 2, 0)
+    pad_b = jnp.where(wide, pad - pad // 2, 0)
+    pad_l = jnp.where(wide, 0, pad - pad // 2)
+    pad_r = jnp.where(wide, 0, pad // 2)
+    return h_p, w_p, pad_t, pad_l, pad_b, pad_r
+
+
+def resize_symmetric(image: jax.Array, size: int):
+    """Static-shape mirror of ``resize_image_to_target_symmeric_size``.
+
+    Reference semantic_segmentation.py:200-280.  Returns
+    (image_p, w, h, pad_t, pad_l, pad_b, pad_r) with the reference's return
+    convention (pad_l/pad_r as *computed* there, even though the applied
+    width pads are swapped — both image and label go through the same path
+    so downstream alignment is preserved).
+    """
+    h, w = int(image.shape[0]), int(image.shape[1])
+    h_p, w_p, pad_t, pad_l, pad_b, pad_r = symmetric_geometry(h, w, size)
+    resized = affine_resize(image, h_p, w_p, mode="nearest")
+    out = jnp.pad(resized, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+    # Reference-return convention: width branch reports pad_l=pad//2,
+    # pad_r=pad//2+1 (:259-262) though it applies them swapped.
+    rep_l, rep_r = pad_r, pad_l
+    return out, w, h, pad_t, rep_l, pad_b, rep_r
+
+
+def tf_resize_images(x: jax.Array, height_factor: int, width_factor: int):
+    """``K.resize_images(..., 'channels_last', 'bilinear')`` equivalent.
+
+    TF2's resize uses half-pixel centers; ``jax.image.resize`` with
+    ``method='linear'`` implements the same convention.  Used for the
+    in-model upsampling Lambdas (reference :853-856, :904-908, :941-950).
+
+    x: (..., H, W, C); factors are integer scale multipliers.
+    """
+    h = x.shape[-3] * int(height_factor)
+    w = x.shape[-2] * int(width_factor)
+    shape = x.shape[:-3] + (h, w, x.shape[-1])
+    return jax.image.resize(x, shape, method="linear", antialias=False)
