@@ -1,0 +1,195 @@
+"""Host data-loading pipeline: threaded decode + prefetch feeding the
+on-device preprocessing kernel.
+
+Replaces the reference's Keras ``OrderedEnqueuer``/``GeneratorEnqueuer``
+worker threads (semantic_segmentation.py:1060-1078, :1150-1167; knobs
+``workers``/``max_queue_size`` from conf.json:12-13) and its per-sample
+SciPy/CuPy preprocessing: here host threads only *decode* images and paste
+raw uint8 pixels into fixed-size canvases; all arithmetic (resize, pad,
+normalize, one-hot) runs on-device in one jit-compiled batched kernel
+(ops/preprocess.prepare_batch).
+
+Ragged last batch (:1521-1560): emitted at full batch size with a 0/1
+``valid`` mask (static shapes under jit).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .voc import SampleSpec
+
+
+def load_sample(spec: SampleSpec):
+    """Decode one image (+ optional label) to raw uint8 arrays."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(spec.image_path).convert("RGB"), np.uint8)
+    lab = None
+    if spec.label_path is not None:
+        lab = np.asarray(Image.open(spec.label_path), np.uint8)
+        if lab.ndim == 3:
+            lab = lab[..., 0]
+    return img, lab
+
+
+class HostLoader:
+    """Iterates batches of raw canvases.
+
+    Yields dicts: image_canvas (B,CH,CW,3) u8, sizes (B,2) i32,
+    label_canvas (B,CH,CW) u8 | None, valid (B,) i32, names [str].
+
+    Oversized images are center-cropped to the canvas (VOC is ≤500px; the
+    canvas defaults to max(512, canvas_size)).
+    """
+
+    def __init__(
+        self,
+        specs: Sequence[SampleSpec],
+        batch_size: int,
+        canvas_size: int = 512,
+        workers: int = 2,
+        max_queue_size: int = 8,
+        shuffle: bool = False,
+        seed: int = 1024,
+        with_labels: bool = True,
+    ):
+        self.specs = list(specs)
+        self.batch_size = batch_size
+        self.canvas_size = canvas_size
+        self.workers = max(1, workers)
+        self.max_queue_size = max(2, max_queue_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.with_labels = with_labels
+        self.epoch = 0
+
+    def __len__(self):
+        """Number of batches incl. the padded tail (reference ceil-steps
+        :1487-1509)."""
+        n = len(self.specs)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def steps(self) -> int:
+        return len(self)
+
+    def _order(self):
+        idx = np.arange(len(self.specs))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _assemble(self, batch_specs):
+        B, CH = self.batch_size, self.canvas_size
+        img_canvas = np.zeros((B, CH, CH, 3), np.uint8)
+        lab_canvas = np.zeros((B, CH, CH), np.uint8) if self.with_labels else None
+        sizes = np.ones((B, 2), np.int32)
+        valid = np.zeros((B,), np.int32)
+        names = []
+        for i, spec in enumerate(batch_specs):
+            img, lab = load_sample(spec)
+            h, w = img.shape[:2]
+            if h > CH or w > CH:
+                t, l = max(0, (h - CH) // 2), max(0, (w - CH) // 2)
+                img = img[t : t + CH, l : l + CH]
+                lab = None if lab is None else lab[t : t + CH, l : l + CH]
+                h, w = img.shape[:2]
+            img_canvas[i, :h, :w] = img
+            if lab_canvas is not None and lab is not None:
+                lab_canvas[i, :h, :w] = lab
+            sizes[i] = (h, w)
+            valid[i] = 1
+            names.append(spec.name)
+        return {
+            "image_canvas": img_canvas,
+            "sizes": sizes,
+            "label_canvas": lab_canvas,
+            "valid": valid,
+            "names": names,
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        batches = [
+            [self.specs[j] for j in order[i : i + self.batch_size]]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        self.epoch += 1
+
+        if self.workers <= 1:
+            for b in batches:
+                yield self._assemble(b)
+            return
+
+        # Ordered multi-threaded prefetch: per-batch slots filled by a
+        # worker pool, consumed in order (OrderedEnqueuer semantics).
+        slots: list[queue.Queue] = [queue.Queue(maxsize=1) for _ in batches]
+        todo = queue.Queue()
+        for i, b in enumerate(batches):
+            todo.put((i, b))
+        inflight = threading.Semaphore(self.max_queue_size)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i, b = todo.get_nowait()
+                except queue.Empty:
+                    return
+                inflight.acquire()
+                try:
+                    slots[i].put(self._assemble(b))
+                except Exception as e:  # surface decode errors to consumer
+                    slots[i].put(e)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(len(batches)):
+                item = slots[i].get()
+                inflight.release()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def device_batches(
+    loader: HostLoader, image_size: int, num_classes: int, with_labels: bool = True
+):
+    """Wrap a HostLoader into device-ready training batches.
+
+    Runs ops.prepare_batch (jit, on the default device / sharded by the
+    caller's step function) producing {'image', 'label', 'valid'} plus
+    names for test mode.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.preprocess import prepare_batch
+
+    for host_batch in loader:
+        images, labels = prepare_batch(
+            host_batch["image_canvas"],
+            host_batch["sizes"],
+            host_batch["label_canvas"],
+            size=image_size,
+            num_classes=num_classes,
+            with_labels=with_labels,
+        )
+        out = {
+            "image": images,
+            "valid": jnp.asarray(host_batch["valid"]),
+            "names": host_batch["names"],
+        }
+        if with_labels:
+            out["label"] = labels
+        yield out

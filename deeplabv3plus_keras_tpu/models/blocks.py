@@ -1,0 +1,189 @@
+"""NN primitive blocks (NHWC, functional flax.linen).
+
+These mirror the reference's Keras building blocks numerically:
+
+- Keras ``Conv2D`` default kernel init is glorot_uniform; layers the
+  reference builds with ``initializers.TruncatedNormal()`` use stddev 0.05.
+- Keras ``BatchNormalization`` defaults: eps 1e-3, center=True; the
+  encoder/decoder BNs take ``momentum=hps['bn_momentum']`` and
+  ``scale=hps['bn_scale']`` (reference semantic_segmentation.py:819, :831).
+- "Split separable conv" (reference :823-840) = SeparableConv2D(C, k,
+  dilation)+BN+ReLU followed by 1×1 Conv(C)+BN+ReLU, where SeparableConv2D
+  itself is depthwise(k, dilation) → pointwise 1×1.
+
+Weight-decay parity: Keras attaches ``l2(weight_decay)`` regularizers to
+specific conv kernels only (reference :817, :838, :845, :866, :893, :931).
+Here those convs are flax submodules named with the ``_l2`` suffix; the
+training loss adds ``wd * Σ‖W‖²`` over params whose path matches (see
+train/loss.py), reproducing both the loss value and the gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Keras glorot_uniform / TruncatedNormal(stddev=0.05) equivalents.
+glorot_uniform = nn.initializers.glorot_uniform()
+truncated_normal_05 = nn.initializers.truncated_normal(stddev=0.05, lower=-2.0, upper=2.0)
+
+
+class BatchNorm(nn.Module):
+    """Keras-compatible BatchNormalization wrapper.
+
+    Keras semantics: ema = momentum * ema + (1 - momentum) * batch, eps
+    default 1e-3 — identical to flax with the same momentum.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    scale: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_scale=self.scale,
+            use_bias=True,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv(k, no bias) → BN → ReLU (reference encoder 1×1 arm :812-821,
+    pyramid-pooling conv :843-851, concat projection :864-873).
+
+    ``l2=True`` marks the kernel for weight decay (module named ``conv_l2``).
+    """
+
+    features: int
+    kernel: int = 1
+    strides: int = 1
+    l2: bool = True
+    kernel_init: Callable = glorot_uniform
+    bn_momentum: float = 0.99
+    bn_scale: bool = True
+    relu: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        name = "conv_l2" if self.l2 else "conv"
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name=name,
+        )(x)
+        x = BatchNorm(
+            momentum=self.bn_momentum, scale=self.bn_scale, dtype=self.dtype, name="bn"
+        )(x, train)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class SeparableConv(nn.Module):
+    """Keras ``SeparableConv2D``: depthwise(k, dilation) → pointwise 1×1.
+
+    No bias, depth_multiplier=1 (reference :823-830). Both kernels use the
+    given init (the reference passes TruncatedNormal to the whole
+    SeparableConv2D).
+    """
+
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    dilation: tuple[int, int] = (1, 1)
+    padding: str | Sequence[tuple[int, int]] = "SAME"
+    kernel_init: Callable = glorot_uniform
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        x = nn.Conv(
+            cin,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            kernel_dilation=self.dilation,
+            padding=self.padding,
+            feature_group_count=cin,
+            use_bias=False,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features,
+            (1, 1),
+            use_bias=False,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+class SplitSepConvBlock(nn.Module):
+    """The encoder-middle 'conv' op with kernel > 1 (reference :823-840):
+
+    SeparableConv2D(C, k, dilation=rate×mult, TruncatedNormal)+BN+ReLU →
+    1×1 Conv(C, TruncatedNormal, l2)+BN+ReLU.
+    """
+
+    features: int
+    kernel: int
+    dilation: tuple[int, int]
+    bn_momentum: float
+    bn_scale: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SeparableConv(
+            self.features,
+            kernel=self.kernel,
+            dilation=self.dilation,
+            kernel_init=truncated_normal_05,
+            dtype=self.dtype,
+            name="sepconv",
+        )(x)
+        x = BatchNorm(
+            momentum=self.bn_momentum, scale=self.bn_scale, dtype=self.dtype, name="bn1"
+        )(x, train)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.features,
+            (1, 1),
+            use_bias=False,
+            kernel_init=truncated_normal_05,
+            dtype=self.dtype,
+            name="conv_l2",
+        )(x)
+        x = BatchNorm(
+            momentum=self.bn_momentum, scale=self.bn_scale, dtype=self.dtype, name="bn2"
+        )(x, train)
+        return nn.relu(x)
+
+
+def avg_pool_valid(x, pool_size: int):
+    """Keras ``AveragePooling2D(pool_size, padding='valid')`` with default
+    strides=pool_size (reference :841-842)."""
+    return nn.avg_pool(
+        x, (pool_size, pool_size), strides=(pool_size, pool_size), padding="VALID"
+    )
+
+
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)

@@ -1,0 +1,81 @@
+"""Full DeepLabV3+ model: backbone → encoder middle (ASPP DAG) → decoder.
+
+Reference forward pass (SURVEY §3.4; semantic_segmentation.py:777-782):
+input (B, S, S, 3) in (−1, 1) → base → encoder middle → decoder →
+(B, S, S, num_classes) softmax probabilities.
+
+This module is a pure flax.linen functional core — ``init`` produces the
+param/batch-stats pytrees, ``apply`` is the jittable forward.  The
+backbone output is computed once and shared by the encoder middle and the
+boundary-refinement path (the reference executes the backbone twice on the
+same input, :802 and :930 — identical numerics, see decoder.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from .backbones import get_backbone
+from .decoder import Decoder
+from .encoder import EncoderMiddle
+
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+class DeepLabV3Plus(nn.Module):
+    """conf: the full Config (hps + nn_arch drive every knob)."""
+
+    conf: Config
+
+    def setup(self):
+        arch = self.conf.nn_arch
+        hps = self.conf.hps
+        dtype = _DTYPES.get(hps.dtype, jnp.float32)
+        self.base = get_backbone(self.conf.base_model, arch.output_stride, dtype=dtype)
+        self.encoder = EncoderMiddle(
+            middle_conf=tuple(arch.encoder_middle_conf),
+            reduction_size=arch.reduction_size,
+            concat_channels=arch.concat_channels,
+            conv_rate_multiplier=arch.conv_rate_multiplier,
+            dropout_rate=arch.dropout_rate,
+            bn_momentum=hps.bn_momentum,
+            bn_scale=hps.bn_scale,
+            dtype=dtype,
+            name="encoder",
+        )
+        self.decoder = Decoder(
+            num_classes=arch.num_classes,
+            output_stride=arch.output_stride,
+            boundary_refinement=arch.boundary_refinement,
+            bn_momentum=hps.bn_momentum,
+            bn_scale=hps.bn_scale,
+            dtype=dtype,
+            name="decoder",
+        )
+
+    def __call__(self, x, train: bool = False):
+        base_features = self.base(x, train)
+        encoder_features = self.encoder(base_features, train)
+        probs = self.decoder(base_features, encoder_features, train)
+        # Softmax output in float32 regardless of compute dtype (loss/mIoU
+        # numerics stay fp32 even under bf16 compute).
+        return probs.astype(jnp.float32)
+
+
+def create_model(conf: Config) -> DeepLabV3Plus:
+    return DeepLabV3Plus(conf=conf)
+
+
+def init_model(conf: Config, rng: jax.Array):
+    """Initialize variables: returns {'params': ..., 'batch_stats': ...}."""
+    model = create_model(conf)
+    size = conf.nn_arch.image_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    return model, variables

@@ -1,0 +1,25 @@
+from .mesh import make_mesh, batch_sharding, replicated, DATA_AXIS, SPACE_AXIS
+from .step import (
+    TrainState,
+    create_train_state,
+    build_train_step,
+    build_eval_step,
+    build_predict_step,
+    shard_step,
+    default_class_weights,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "DATA_AXIS",
+    "SPACE_AXIS",
+    "TrainState",
+    "create_train_state",
+    "build_train_step",
+    "build_eval_step",
+    "build_predict_step",
+    "shard_step",
+    "default_class_weights",
+]

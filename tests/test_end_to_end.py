@@ -1,0 +1,142 @@
+"""End-to-end smoke tests through the public SemanticSegmentation API on a
+synthetic mini-VOC fixture: train → checkpoint → reload → evaluate →
+test → segment → export (reference call stacks, SURVEY §3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    from deeplabv3plus_keras_tpu.data import make_synthetic_voc
+
+    root = tmp_path_factory.mktemp("e2e")
+    make_synthetic_voc(str(root / "resource"), n_train=4, n_val=2, n_test=2)
+    return root
+
+
+def small_conf_dict(workspace, mode="train", model_loading=False):
+    return {
+        "mode": mode,
+        "resource_type": "pascal_voc_2012_ext",
+        "resource_path": str(workspace / "resource"),
+        "model_loading": model_loading,
+        "multi_gpu": True,
+        "num_gpus": 2,
+        "prepro_device": 0,
+        "eval_data_mode": 1,
+        "eval_result_saving": True,
+        "base_model": "mobilenetv2",
+        "max_queue_size": 4,
+        "workers": 2,
+        "hps": {
+            "dtype": "float32",
+            "val_ratio": 0.34,
+            "lr": 0.001,
+            "beta_1": 0.5,
+            "beta_2": 0.99,
+            "decay": 0.0,
+            "epochs": 1,
+            "batch_size": 2,
+            "weight_decay": 0.00004,
+            "bn_momentum": 0.9,
+            "bn_scale": True,
+            "reduce_lr_factor": 0.99,
+        },
+        "nn_arch": {
+            "boundary_refinement": True,
+            "output_stride": 16,
+            "image_size": 64,
+            "num_classes": 21,
+            "conv_rate_multiplier": 1,
+            "reduction_size": 32,
+            "dropout_rate": 0.5,
+            "concat_channels": 32,
+            "encoder_middle_conf": [
+                {"kernel": 3, "rate": [1, 1], "op": "conv", "input": -1},
+                {"kernel": 3, "rate": [6, 3], "op": "conv", "input": 0},
+                {"kernel": 1, "rate": [1, 1], "op": "conv", "input": 1},
+            ],
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    from deeplabv3plus_keras_tpu import SemanticSegmentation
+
+    conf = small_conf_dict(workspace)
+    ss = SemanticSegmentation(conf, work_dir=str(workspace))
+    history = ss.train()
+    return ss, history
+
+
+def test_train_produces_finite_history_and_checkpoint(workspace, trained):
+    ss, history = trained
+    assert len(history["loss"]) == 1
+    assert np.isfinite(history["loss"][0]) and np.isfinite(history["val_loss"][0])
+    assert 0.0 <= history["val_miou"][0] <= 1.0
+    assert os.path.isdir(
+        os.path.join(str(workspace), "semantic_segmentation_deeplabv3plus")
+    )
+    # step bookkeeping written back into hps (reference :1487-1509)
+    assert ss.hps.tr_step == 2 and ss.hps.val_step == 1
+
+
+def test_reload_and_evaluate_with_result_saving(workspace, trained):
+    from deeplabv3plus_keras_tpu import SemanticSegmentation
+
+    conf = small_conf_dict(workspace, mode="evaluate", model_loading=True)
+    ss = SemanticSegmentation(conf, work_dir=str(workspace))
+    miou = ss.evaluate(mode=1, result_saving=True)
+    assert 0.0 <= miou.result() <= 1.0
+    results = os.listdir(os.path.join(str(workspace), "results"))
+    assert len(results) == 2  # n_val samples
+    # 4-panel composite: width = 4×image width
+    from PIL import Image
+
+    panel = Image.open(os.path.join(str(workspace), "results", results[0]))
+    assert panel.size == (64 * 4, 64)
+
+
+def test_test_mode_saves_class_index_pngs(workspace, trained):
+    ss, _ = trained
+    ss.test()
+    out = os.path.join(str(workspace), "test_results")
+    files = sorted(os.listdir(out))
+    assert files == ["te_0000.png", "te_0001.png"]
+    from PIL import Image
+
+    arr = np.asarray(Image.open(os.path.join(out, files[0])))
+    assert arr.shape == (64, 64) and arr.max() <= 20
+
+
+def test_segment_api(trained):
+    ss, _ = trained
+    imgs = np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    labels = ss.segment(imgs)
+    assert labels.shape == (2, 64, 64)
+    assert labels.dtype in (np.int32, np.int64)
+    assert labels.max() <= 20
+
+
+def test_export_stablehlo(workspace, trained):
+    ss, _ = trained
+    written = ss.convert_to_tf_lite()
+    assert any(p.endswith(".stablehlo") for p in written)
+    assert os.path.getsize(written[0]) > 1000
+
+
+def test_cli_roundtrip(workspace, tmp_path, monkeypatch):
+    """CLI driver: mode=evaluate via a conf file path (reference main(),
+    :1793-1845)."""
+    from deeplabv3plus_keras_tpu import cli
+
+    conf = small_conf_dict(workspace, mode="evaluate", model_loading=True)
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf))
+    monkeypatch.chdir(str(workspace))
+    assert cli.main([str(conf_path)]) == 0

@@ -1,0 +1,144 @@
+"""Loss / metric / optimizer numerics + sharded-step tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplabv3plus_keras_tpu.train import (
+    SS_NW,
+    SS_PW,
+    MeanIoU,
+    class_balanced_loss,
+    confusion_matrix_update,
+    l2_penalty,
+    make_optimizer,
+)
+
+
+def numpy_reference_loss(y_true, y_pred, pw, nw, eps=1e-7):
+    """Straight NumPy transcription of the reference loss formula
+    (semantic_segmentation.py:438-447)."""
+    loss = np.zeros(y_true.shape[:-1])
+    for i in range(len(pw)):
+        loss += -1.0 * (
+            pw[i] * y_true[..., i] * np.log(y_pred[..., i] + eps)
+            + nw[i] * (1.0 - y_true[..., i]) * np.log(1.0 - y_pred[..., i] + eps)
+        )
+    return loss.mean()
+
+
+def test_class_balanced_loss_matches_reference_formula(rng):
+    B, H, W, C = 2, 6, 6, 21
+    labels = rng.integers(0, C, (B, H, W))
+    y_true = np.eye(C, dtype=np.float32)[labels]
+    logits = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    y_pred = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    ours = float(class_balanced_loss(y_true, y_pred, SS_PW, SS_NW))
+    ref = numpy_reference_loss(y_true.astype(np.float64), y_pred.astype(np.float64), SS_PW, SS_NW)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_loss_valid_mask_equals_subset_loss(rng):
+    C = 21
+    y_true = np.eye(C, dtype=np.float32)[rng.integers(0, C, (4, 5, 5))]
+    y_pred = rng.uniform(0.01, 0.99, (4, 5, 5, C)).astype(np.float32)
+    valid = np.array([1, 1, 0, 0], np.int32)
+    masked = float(class_balanced_loss(y_true, y_pred, valid=valid))
+    subset = float(class_balanced_loss(y_true[:2], y_pred[:2]))
+    np.testing.assert_allclose(masked, subset, rtol=1e-6)
+
+
+def test_ss_weights_sum():
+    np.testing.assert_allclose(SS_PW + SS_NW, 1.0, atol=1e-6)
+
+
+def test_confusion_matrix_and_miou(rng):
+    C = 3
+    t = np.array([0, 0, 1, 1, 2, 2])
+    p = np.array([0, 1, 1, 1, 2, 0])
+    y_true = np.eye(C, dtype=np.float32)[t].reshape(1, 6, C)
+    y_pred = np.eye(C, dtype=np.float32)[p].reshape(1, 6, C)
+    cm = np.asarray(confusion_matrix_update(y_true, y_pred, C))
+    expected_cm = np.array([[1, 1, 0], [0, 2, 0], [1, 0, 1]])
+    np.testing.assert_array_equal(cm, expected_cm)
+    m = MeanIoU(C).update_state(y_true, y_pred)
+    # per-class IoU: 0: 1/(2+2-1)=1/3, 1: 2/(2+3-2)=2/3, 2: 1/(2+1-1)=1/2
+    np.testing.assert_allclose(m.result(), (1 / 3 + 2 / 3 + 1 / 2) / 3, rtol=1e-6)
+
+
+def test_miou_accum_vs_replace(rng):
+    C = 4
+    a = np.eye(C, dtype=np.float32)[rng.integers(0, C, (1, 10))]
+    b = np.eye(C, dtype=np.float32)[rng.integers(0, C, (1, 10))]
+    acc = MeanIoU(C, accum_enable=True).update_state(a, a).update_state(a, b)
+    rep = MeanIoU(C, accum_enable=False).update_state(a, a).update_state(a, b)
+    only_b = MeanIoU(C).update_state(a, b)
+    assert rep.result() == only_b.result()
+    assert acc.total_cm.sum() == 20 and rep.total_cm.sum() == 10
+
+
+def test_l2_penalty_selects_tagged_params():
+    params = {
+        "encoder": {"conv_l2": {"kernel": jnp.ones((2, 2))}},
+        "base": {"conv": {"kernel": jnp.ones((3, 3))}},
+    }
+    assert float(l2_penalty(params, 0.1)) == np.float32(0.1 * 4)
+    assert float(l2_penalty(params, 0.0)) == 0.0
+
+
+def test_adam_keras_semantics_first_step():
+    """After one step with grad g: update ≈ −lr·sign-free Adam with bias
+    correction; eps=1e-7, β₁=0.5, β₂=0.99."""
+    import optax
+
+    from deeplabv3plus_keras_tpu.config import HParams
+
+    hps = HParams(lr=0.01, beta_1=0.5, beta_2=0.99, decay=0.0)
+    tx = make_optimizer(hps)
+    p = {"w": jnp.array([1.0, 2.0])}
+    g = {"w": jnp.array([0.5, -1.0])}
+    st = tx.init(p)
+    updates, st = tx.update(g, st, p)
+    new_p = optax.apply_updates(p, updates)
+    # Keras Adam step 1: m̂=g, v̂=g², θ −= lr·g/(|g|+ε·√(1−β₂)/… ) ≈ lr·sign(g)
+    expect = np.array([1.0, 2.0]) - 0.01 * np.sign([0.5, -1.0])
+    np.testing.assert_allclose(np.asarray(new_p["w"]), expect, atol=1e-3)
+
+
+def test_lr_decay_schedule():
+    from deeplabv3plus_keras_tpu.config import HParams
+    import optax
+
+    hps = HParams(lr=0.1, decay=0.5)
+    tx = make_optimizer(hps)
+    p = {"w": jnp.array([0.0])}
+    g = {"w": jnp.array([1.0])}
+    st = tx.init(p)
+    # step at t: scale 1/(1+0.5t)
+    u0, st = tx.update(g, st, p)
+    u1, st = tx.update(g, st, p)
+    r = float(u1["w"][0] / u0["w"][0])
+    np.testing.assert_allclose(r, 1 / 1.5, rtol=1e-2)
+
+
+def test_set_learning_rate_roundtrip():
+    from deeplabv3plus_keras_tpu.config import HParams
+    from deeplabv3plus_keras_tpu.train import get_learning_rate, set_learning_rate
+
+    tx = make_optimizer(HParams(lr=0.01))
+    st = tx.init({"w": jnp.zeros(1)})
+    assert abs(get_learning_rate(st) - 0.01) < 1e-9
+    st = set_learning_rate(st, 0.005)
+    assert abs(get_learning_rate(st) - 0.005) < 1e-9
+
+
+def test_reduce_lr_on_plateau():
+    from deeplabv3plus_keras_tpu.train.callbacks import ReduceLROnPlateau
+
+    cb = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-4)
+    lr = 0.1
+    lr = cb.update(1.0, lr)   # improves (best=1.0)
+    lr = cb.update(1.0, lr)   # no improvement, wait=1
+    assert lr == 0.1
+    lr = cb.update(1.0, lr)   # wait=2 → reduce
+    assert lr == 0.05
