@@ -145,12 +145,22 @@ class SemanticSegmentation:
 
     def train(self):
         """Train with per-epoch validation, best-val checkpointing and
-        ReduceLROnPlateau on the train loss (reference train(), :956-1009)."""
+        ReduceLROnPlateau on the train loss (reference train(), :956-1009).
+
+        Observability (extra config keys; the reference built but never
+        enabled its TensorBoard callback, :987-990/:1007):
+        ``profile_logdir`` → jax.profiler trace of epoch 1;
+        ``metrics_log`` → per-epoch JSONL metrics.
+        """
+        from .utils import MetricsLogger, StepTimer, profiler_trace
+
         tr_loader = self._loader(voc.MODE_TRAIN, shuffle=True)
         val_loader = self._loader(voc.MODE_VAL)
         self.hps.tr_step = tr_loader.steps()
         self.hps.val_step = val_loader.steps()
         plateau = ReduceLROnPlateau(self.hps.reduce_lr_factor, patience=5, min_lr=1e-8)
+        logger = MetricsLogger(self.conf.extra.get("metrics_log"))
+        profile_logdir = self.conf.extra.get("profile_logdir")
 
         step_rng, self.rng = jax.random.split(self.rng)
         history = {"loss": [], "miou": [], "val_loss": [], "val_miou": []}
@@ -158,11 +168,16 @@ class SemanticSegmentation:
             t0 = time.time()
             losses = []
             miou = MeanIoU(self.nn_arch.num_classes)
-            for batch in self._batches(tr_loader):
-                batch.pop("names")
-                self.state, metrics = self._train_step(self.state, batch, step_rng)
-                losses.append(metrics["loss"])
-                miou.update_from_cm(metrics["cm"])
+            timer = StepTimer(warmup=1)
+            with profiler_trace(profile_logdir if epoch == 0 else None):
+                for batch in self._batches(tr_loader):
+                    batch.pop("names")
+                    with timer:
+                        self.state, metrics = self._train_step(
+                            self.state, batch, step_rng
+                        )
+                    losses.append(metrics["loss"])
+                    miou.update_from_cm(metrics["cm"])
             train_loss = float(np.mean([float(l) for l in losses]))
 
             val_losses = []

@@ -34,6 +34,9 @@ def load_sample(spec: SampleSpec):
         lab = np.asarray(Image.open(spec.label_path), np.uint8)
         if lab.ndim == 3:
             lab = lab[..., 0]
+        if spec.label_remap_value is not None:
+            # Open Images masks: value 1 → class index (reference :1358-1359).
+            lab = np.where(lab == 1, np.uint8(spec.label_remap_value), lab)
     return img, lab
 
 

@@ -70,3 +70,73 @@ def make_synthetic_voc(
     with open(os.path.join(test_set_dir, "test.txt"), "w") as f:
         f.write("\n".join(test_names) + "\n")
     return root
+
+
+def make_synthetic_openimages(
+    root: str,
+    n_train: int = 6,
+    n_val: int = 2,
+    min_size: int = 60,
+    max_size: int = 120,
+    seed: int = 1024,
+) -> str:
+    """Synthetic Google Open Images V5 layout for the CSV-driven source
+    (data/openimages.py): class-description CSV, per-split annotation CSVs,
+    JPEG images and binary mask PNGs (value 1 = object)."""
+    import csv as csv_mod
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    classes = [
+        ("/m/01g317", "Person"),
+        ("/m/01yrx", "Cat"),
+        ("/m/0bt9lr", "Dog"),
+        ("/m/0k4j", "Car"),
+        ("/m/01bjv", "Bus"),
+        ("/m/04_sv", "Motorcycle"),
+        ("/m/0199g", "Bicycle"),
+        ("/m/0cmf2", "Airplane"),  # outside the 7-class subset → filtered
+    ]
+    with open(os.path.join(root, "class-description-boxable.csv"), "w", newline="") as f:
+        w = csv_mod.writer(f)
+        for ic, sc in classes:
+            w.writerow([ic, sc])
+
+    def make_split(csv_name, img_dir, mask_dir, n, prefix):
+        os.makedirs(os.path.join(root, img_dir), exist_ok=True)
+        os.makedirs(os.path.join(root, mask_dir), exist_ok=True)
+        with open(os.path.join(root, csv_name), "w", newline="") as f:
+            w = csv_mod.writer(f)
+            w.writerow(["Unused", "MaskPath", "ImageID", "LabelName"])
+            for i in range(n):
+                ic, sc = classes[rng.integers(0, len(classes))]
+                h = int(rng.integers(min_size, max_size))
+                wdt = int(rng.integers(min_size, max_size))
+                image_id = f"{prefix}{i:04d}"
+                mask_name = f"{image_id}_{ic.replace('/', '')}_0.png"
+                img = rng.integers(0, 256, (h, wdt, 3)).astype(np.uint8)
+                Image.fromarray(img).save(
+                    os.path.join(root, img_dir, image_id + ".jpg"), quality=90
+                )
+                mask = (rng.uniform(size=(h, wdt)) < 0.3).astype(np.uint8)  # 0/1
+                Image.fromarray(mask, mode="L").save(
+                    os.path.join(root, mask_dir, mask_name)
+                )
+                w.writerow(["x", mask_name, image_id, ic])
+
+    make_split(
+        "train_valid-annotation-object-segmentation.csv", "train", "train-masks",
+        n_train, "tr",
+    )
+    make_split(
+        "validation-annotation-object-segmentation.csv", "validation",
+        "validation-masks", n_val, "va",
+    )
+    make_split(
+        "test-annotation-object-segmentation.csv", "test", "test-masks",
+        n_val, "te",
+    )
+    return root

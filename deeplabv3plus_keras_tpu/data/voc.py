@@ -35,6 +35,9 @@ class SampleSpec:
     name: str
     image_path: str
     label_path: str | None
+    # Open Images: mask pixels equal to 1 are remapped to this class index
+    # (reference :1358-1359); None for id-coded labels (VOC).
+    label_remap_value: int | None = None
 
 
 def _read_list(path: str) -> list[str]:

@@ -57,11 +57,16 @@ class DenseNetBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         blocks = _BLOCKS[self.variant]
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-                    kernel_init=glorot_uniform, dtype=self.dtype, name="conv1_conv")(x)
+        # Keras DenseNet pads the stem explicitly: ZeroPadding((3,3)) +
+        # 7×7 s2 VALID conv, then ZeroPadding((1,1)) + 3×3 s2 VALID pool —
+        # NOT SAME padding (SAME would pad (2,3)/(0,1) on even inputs).
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=glorot_uniform, dtype=self.dtype,
+                    name="conv1_conv")(x)
         x = BatchNorm(epsilon=_BN_EPS, dtype=self.dtype, name="conv1_bn")(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         # Dense blocks conv2..convN with transitions pool2..poolN between;
         # cut is inside transition pool3 (os8) or pool4 (os16), pre-pool.

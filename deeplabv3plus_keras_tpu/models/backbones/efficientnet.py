@@ -41,9 +41,6 @@ from ..blocks import BatchNorm
 # truncated normal).
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
-# ImageNet normalization constants used by the Keras Normalization layer.
-_IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-_IMAGENET_VAR = jnp.array([0.229, 0.224, 0.225]) ** 2
 
 # (width_coefficient, depth_coefficient) per variant.
 _VARIANTS = {
@@ -148,9 +145,18 @@ class EfficientNetBackbone(nn.Module):
         width, depth = _VARIANTS[self.variant]
 
         # Keras-internal preprocessing: the reference's (−1,1) inputs go
-        # through Rescaling(1/255)+Normalization(ImageNet) again (:526-674).
+        # through Rescaling(1/255) + a Normalization layer again (:526-674).
+        # The Normalization stats are *weights* in the Keras model (filled
+        # from the pretrained .h5; identity mean=0/var=1 when random) —
+        # stored here as batch_stats so the weight converter carries them.
         x = x / 255.0
-        x = (x - _IMAGENET_MEAN) / jnp.sqrt(_IMAGENET_VAR)
+        norm_mean = self.variable(
+            "batch_stats", "normalization_mean", lambda: jnp.zeros((3,), jnp.float32)
+        )
+        norm_var = self.variable(
+            "batch_stats", "normalization_var", lambda: jnp.ones((3,), jnp.float32)
+        )
+        x = (x - norm_mean.value) / jnp.sqrt(norm_var.value + 1e-7)
 
         x = nn.Conv(round_filters(32, width), (3, 3), strides=(2, 2),
                     padding="SAME", use_bias=False, kernel_init=conv_init,

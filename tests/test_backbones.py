@@ -1,0 +1,36 @@
+"""Backbone registry coverage + cut-point shape tests for the lighter
+families (heavier ones are covered by -m parity tests and smoke scripts)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deeplabv3plus_keras_tpu.config import ALL_BASE_MODELS
+from deeplabv3plus_keras_tpu.models.backbones import available_backbones, get_backbone
+
+
+def test_registry_covers_all_reference_backbones():
+    # Reference elif ladder: semantic_segmentation.py:494-771.
+    assert set(ALL_BASE_MODELS) <= set(available_backbones())
+
+
+def test_unknown_backbone_rejected():
+    with pytest.raises(ValueError):
+        get_backbone("resnet50", 16)
+
+
+@pytest.mark.parametrize(
+    "name,os_,ch",
+    [
+        ("efficientnetb1", 16, 112),
+        ("efficientnetb2", 16, 120),
+        ("densenet169", 16, 640),
+        ("nasnetmobile", 16, 176),
+    ],
+)
+def test_cut_point_channels(name, os_, ch):
+    bb = get_backbone(name, os_)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y = bb.apply(v, x, train=False)
+    assert y.shape == (1, 32 // os_, 32 // os_, ch), y.shape

@@ -1,0 +1,96 @@
+"""Data-layer tests: VOC sources, ext split semantics, loader ordering /
+ragged batch, Open Images CSV source."""
+
+import numpy as np
+import pytest
+
+from deeplabv3plus_keras_tpu.data import (
+    HostLoader,
+    MODE_TEST,
+    MODE_TRAIN,
+    MODE_VAL,
+    make_synthetic_voc,
+    pascal_voc_2012,
+    pascal_voc_2012_ext,
+)
+from deeplabv3plus_keras_tpu.data.synthetic import make_synthetic_openimages
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    return make_synthetic_voc(
+        str(tmp_path_factory.mktemp("voc")), n_train=5, n_val=3, n_test=2
+    )
+
+
+@pytest.fixture(scope="module")
+def oi_root(tmp_path_factory):
+    return make_synthetic_openimages(
+        str(tmp_path_factory.mktemp("oi")), n_train=6, n_val=2
+    )
+
+
+def test_voc_sources(voc_root):
+    assert len(pascal_voc_2012(voc_root, MODE_TRAIN)) == 5
+    assert len(pascal_voc_2012(voc_root, MODE_VAL)) == 3
+    test = pascal_voc_2012(voc_root, MODE_TEST)
+    assert len(test) == 2 and test[0].label_path is None
+
+
+def test_ext_split_head_tail_unshuffled(voc_root):
+    """Ext semantics (reference :1463-1468): train = head slice, val =
+    tail slice of ONE combined list, no shuffle."""
+    tr = pascal_voc_2012_ext(voc_root, MODE_TRAIN, val_ratio=0.25)
+    va = pascal_voc_2012_ext(voc_root, MODE_VAL, val_ratio=0.25)
+    assert len(tr) == 6 and len(va) == 2  # 8 names, val = int(8*.25)
+    all_names = [s.name for s in tr] + [s.name for s in va]
+    assert all_names == sorted(all_names, key=all_names.index)  # order kept
+    assert {s.name for s in tr}.isdisjoint({s.name for s in va})
+
+
+def test_loader_ragged_last_batch_and_order(voc_root):
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)  # 5 samples
+    loader = HostLoader(specs, batch_size=2, canvas_size=128, workers=2)
+    batches = list(loader)
+    assert len(batches) == 3 == loader.steps()
+    assert [b["valid"].sum() for b in batches] == [2, 2, 1]
+    # ordered delivery despite threaded workers
+    names = [n for b in batches for n, v in zip(b["names"], b["valid"]) if v]
+    assert names == [s.name for s in specs]
+
+
+def test_loader_shuffle_is_deterministic_per_epoch(voc_root):
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)
+    l1 = HostLoader(specs, batch_size=2, canvas_size=128, shuffle=True, seed=7)
+    l2 = HostLoader(specs, batch_size=2, canvas_size=128, shuffle=True, seed=7)
+    n1 = [n for b in l1 for n in b["names"]]
+    n2 = [n for b in l2 for n in b["names"]]
+    assert n1 == n2
+    n1b = [n for b in l1 for n in b["names"]]  # epoch 2 differs
+    assert n1 != n1b
+
+
+def test_openimages_source_and_remap(oi_root):
+    from deeplabv3plus_keras_tpu.data.openimages import (
+        google_open_images_v5,
+        load_class_maps,
+    )
+    from deeplabv3plus_keras_tpu.data.pipeline import load_sample
+
+    _, _, ic2in, sc2in = load_class_maps(oi_root)
+    assert len(sc2in) == 7  # Airplane filtered out
+    assert sc2in["Person"] == 1  # file order, 1-based
+
+    specs = google_open_images_v5(oi_root, MODE_TRAIN)
+    assert 0 < len(specs) <= 6  # rows with out-of-subset classes dropped
+    img, lab = load_sample(specs[0])
+    assert img.ndim == 3
+    vals = set(np.unique(lab))
+    assert vals <= {0, specs[0].label_remap_value}  # 1 remapped to class idx
+
+
+def test_openimages_test_mode_has_no_labels(oi_root):
+    from deeplabv3plus_keras_tpu.data.openimages import google_open_images_v5
+
+    specs = google_open_images_v5(oi_root, MODE_TEST)
+    assert all(s.label_path is None for s in specs)

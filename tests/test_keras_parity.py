@@ -1,0 +1,75 @@
+"""Numerical parity vs Keras applications backbones.
+
+The reference consumes ``tf.keras.applications`` backbones with pretrained
+weights (semantic_segmentation.py:494-771).  These tests build the same
+Keras topologies with *random* weights (no network needed), convert them
+through utils/keras_weights, and require the flax backbone to reproduce
+the truncated Keras model's outputs — validating topology, BN semantics,
+padding conventions, and the weight converter in one go (SURVEY §7 "hard
+parts": Keras→JAX weight conversion & numerical parity).
+
+Slow on the 1-core CI host → marked 'parity'; run with
+``pytest -m parity``.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+
+pytestmark = pytest.mark.parity
+
+
+def keras_truncated(app_fn, cut_layer, size):
+    from tensorflow import keras
+
+    m = app_fn(input_shape=(size, size, 3), include_top=False, weights=None)
+    return keras.Model(m.inputs, m.get_layer(cut_layer).output), m
+
+
+def convert_and_compare(name, app_fn, cut_layer, os_, size, atol):
+    from deeplabv3plus_keras_tpu.models.backbones import get_backbone
+    from deeplabv3plus_keras_tpu.utils.keras_weights import convert_keras_backbone
+
+    truncated, full = keras_truncated(app_fn, cut_layer, size)
+    bb = get_backbone(name, os_)
+    x = np.random.default_rng(0).uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # bare backbone init → no 'base' wrapper level in the pytree
+    variables, report = convert_keras_backbone(full, variables, base_path="")
+    assert not report["missing"], f"unconverted layers: {report['missing'][:10]}"
+
+    ours = np.asarray(bb.apply(variables, x, train=False))
+    theirs = truncated.predict(x, verbose=0)
+    assert ours.shape == theirs.shape, (ours.shape, theirs.shape)
+    np.testing.assert_allclose(ours, theirs, atol=atol)
+
+
+@pytest.mark.parametrize("os_,cut", [(8, "block_5_add"), (16, "block_12_add")])
+def test_mobilenetv2_parity(os_, cut):
+    from tensorflow.keras.applications import MobileNetV2
+
+    convert_and_compare("mobilenetv2", MobileNetV2, cut, os_, 96, atol=1e-4)
+
+
+@pytest.mark.parametrize("os_,cut", [(8, "block4_sepconv2_bn"), (16, "block13_sepconv2_bn")])
+def test_xception_parity(os_, cut):
+    from tensorflow.keras.applications import Xception
+
+    convert_and_compare("xception", Xception, cut, os_, 96, atol=1e-4)
+
+
+@pytest.mark.parametrize("os_,cut", [(8, "pool3_conv"), (16, "pool4_conv")])
+def test_densenet121_parity(os_, cut):
+    from tensorflow.keras.applications import DenseNet121
+
+    convert_and_compare("densenet121", DenseNet121, cut, os_, 96, atol=1e-4)
+
+
+@pytest.mark.parametrize("os_,cut", [(8, "block3b_add"), (16, "block5c_add")])
+def test_efficientnetb0_parity(os_, cut):
+    from tensorflow.keras.applications import EfficientNetB0
+
+    convert_and_compare("efficientnetb0", EfficientNetB0, cut, os_, 96, atol=1e-3)
