@@ -47,6 +47,7 @@ from .data import voc
 from .models import create_model
 from .parallel import (
     build_eval_step,
+    build_label_step,
     build_predict_step,
     build_train_step,
     create_train_state,
@@ -103,6 +104,9 @@ class SemanticSegmentation:
         )
         self._predict_step = shard_step(
             build_predict_step(self.model), self.mesh, kind="predict"
+        )
+        self._label_step = shard_step(
+            build_label_step(self.model), self.mesh, kind="label"
         )
 
     # ------------------------------------------------------------------
@@ -202,6 +206,18 @@ class SemanticSegmentation:
                 )
 
             saved = save_checkpoint(self.state, self.work_dir, val_loss=val_loss)
+            logger.log(
+                {
+                    "epoch": epoch + 1,
+                    "loss": train_loss,
+                    "miou": history["miou"][-1],
+                    "val_loss": val_loss,
+                    "val_miou": history["val_miou"][-1],
+                    "lr": new_lr,
+                    "checkpoint_saved": saved,
+                    "step_time": timer.stats(),
+                }
+            )
             print(
                 f"epoch {epoch + 1}/{self.hps.epochs} "
                 f"loss {train_loss:.4f} miou {history['miou'][-1]:.4f} "
@@ -262,8 +278,10 @@ class SemanticSegmentation:
 
         for batch in self._batches(loader, with_labels=False):
             names = batch["names"]
-            probs = np.asarray(self._predict_step(self.state, batch["image"]))
-            labels = probs.argmax(-1).astype(np.uint8)
+            # argmax on device; only (B, S, S) int labels cross to host.
+            labels = np.asarray(self._label_step(self.state, batch["image"])).astype(
+                np.uint8
+            )
             valid = np.asarray(batch["valid"])
             for i, name in enumerate(names):
                 if not valid[i]:
@@ -275,8 +293,9 @@ class SemanticSegmentation:
     def segment(self, images) -> np.ndarray:
         """Programmatic batch inference: images (B,S,S,3) in (−1,1) →
         argmax class-index labels (B,S,S) (reference segment, :1207-1227)."""
-        probs = self._predict_step(self.state, jnp.asarray(images, jnp.float32))
-        return np.asarray(jnp.argmax(probs, axis=-1))
+        return np.asarray(
+            self._label_step(self.state, jnp.asarray(images, jnp.float32))
+        )
 
     def convert_to_tf_lite(self):
         """Model export (reference convert_to_tf_lite, :1189-1205).

@@ -5,6 +5,7 @@ from .step import (
     build_train_step,
     build_eval_step,
     build_predict_step,
+    build_label_step,
     shard_step,
     default_class_weights,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "build_train_step",
     "build_eval_step",
     "build_predict_step",
+    "build_label_step",
     "shard_step",
     "default_class_weights",
 ]

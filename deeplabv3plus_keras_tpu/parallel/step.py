@@ -133,6 +133,24 @@ def build_predict_step(model) -> Callable:
     return predict_step
 
 
+def build_label_step(model) -> Callable:
+    """Class-index prediction entirely on device: argmax over the softmax
+    output (≡ argmax of logits).  Avoids ever transferring the
+    (B, S, S, C) probability tensor to host — the reference's test loop
+    pulled full probs through ``model.predict`` then argmaxed on host
+    (semantic_segmentation.py:1169-1181)."""
+
+    def label_step(state: TrainState, images):
+        probs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    return label_step
+
+
 def shard_step(step_fn, mesh, *, kind: str, spatial: bool = False):
     """jit a step function with explicit shardings over ``mesh``.
 
@@ -159,6 +177,6 @@ def shard_step(step_fn, mesh, *, kind: str, spatial: bool = False):
         return jax.jit(
             step_fn, in_shardings=(repl, batch_shardings), out_shardings=repl
         )
-    if kind == "predict":
+    if kind in ("predict", "label"):
         return jax.jit(step_fn, in_shardings=(repl, bsh), out_shardings=repl)
     raise ValueError(kind)

@@ -1,0 +1,69 @@
+"""Checkpoint/resume: best-only retention and exact-state restore
+(reference could only resume params at epoch granularity via SavedModel;
+here optimizer state and step resume exactly — SURVEY §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplabv3plus_keras_tpu.config import Config, MiddleOp
+from deeplabv3plus_keras_tpu.models import init_model
+from deeplabv3plus_keras_tpu.parallel import (
+    build_train_step,
+    create_train_state,
+    make_mesh,
+    shard_step,
+)
+from deeplabv3plus_keras_tpu.train.checkpoint import (
+    checkpoint_exists,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def tiny_setup():
+    c = Config()
+    c.base_model = "mobilenetv2"
+    c.nn_arch.image_size = 32
+    c.nn_arch.boundary_refinement = False
+    c.nn_arch.reduction_size = 8
+    c.nn_arch.concat_channels = 8
+    c.nn_arch.encoder_middle_conf = [MiddleOp(op="conv", kernel=1, input=-1)]
+    c.hps.batch_size = 2
+    model, variables = init_model(c, jax.random.PRNGKey(0))
+    state, tx = create_train_state(c, variables)
+    step = shard_step(
+        build_train_step(model, tx, c), make_mesh(n_data=1), kind="train"
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32),
+        "label": jax.nn.one_hot(jnp.asarray(rng.integers(0, 21, (2, 32, 32))), 21),
+        "valid": jnp.ones((2,), jnp.int32),
+    }
+    return c, state, step, batch
+
+
+def test_best_only_retention_and_exact_resume(tmp_path):
+    wd = str(tmp_path)
+    c, state, step, batch = tiny_setup()
+    key = jax.random.PRNGKey(7)
+
+    state, _ = step(state, batch, key)
+    assert save_checkpoint(state, wd, val_loss=1.0)
+    assert checkpoint_exists(wd)
+    # worse val loss → not saved
+    state2, _ = step(state, batch, key)
+    assert not save_checkpoint(state2, wd, val_loss=2.0)
+    # better → saved
+    state3, _ = step(state2, batch, key)
+    assert save_checkpoint(state3, wd, val_loss=0.5)
+
+    # restore into a fresh template; stepping both must agree exactly
+    c2, fresh_state, step2, _ = tiny_setup()
+    restored = restore_checkpoint(fresh_state, wd)
+    assert int(restored.step) == int(state3.step) == 3
+    a, _ = step(state3, batch, key)
+    b, _ = step2(restored, batch, key)
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

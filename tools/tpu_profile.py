@@ -4,8 +4,11 @@ fp32 vs bf16 — drives the Pallas fusion priorities (SURVEY §7 step 8).
 Usage: python tools/tpu_profile.py [image_size] [batch]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
