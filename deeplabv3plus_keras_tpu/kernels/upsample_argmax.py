@@ -97,9 +97,12 @@ def upsample_argmax(logits: jax.Array, scale: int) -> jax.Array:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # channel-first + edge replication: 1 halo row on top, 7 on the bottom
-    # so every DMA slab is (th+8) rows — sublane-tiling (8) aligned.
+    # so every DMA slab is (th+8) rows — sublane-tiling (8) aligned; width
+    # edge-padded to the 128-lane tile (edge mode keeps the clamp
+    # semantics of the +1 column shift at the true right edge).
+    wp = max(128, w)
     x = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
-    x = jnp.pad(x, ((0, 0), (0, 0), (1, 7), (0, 0)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 7), (0, wp - w)), mode="edge")
 
     th = h
     while th > 32 and h % (th // 2) == 0 and th % 2 == 0:
@@ -107,21 +110,21 @@ def upsample_argmax(logits: jax.Array, scale: int) -> jax.Array:
     n_tiles = h // th
 
     out = pl.pallas_call(
-        functools.partial(_kernel, s=s, c=c, th=th, w=w),
-        out_shape=jax.ShapeDtypeStruct((B, s, s, h, w), jnp.int32),
+        functools.partial(_kernel, s=s, c=c, th=th, w=wp),
+        out_shape=jax.ShapeDtypeStruct((B, s, s, h, wp), jnp.int32),
         grid=(B, n_tiles),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, s, s, th, w), lambda b, r: (b, 0, 0, r, 0), memory_space=pltpu.VMEM
+            (1, s, s, th, wp), lambda b, r: (b, 0, 0, r, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 8, w), jnp.float32),
+            pltpu.VMEM((c, th + 8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(x)
-    # interleave: (B, pr, pc, h, w) → (B, h, pr, w, pc) → (B, h·s, w·s)
-    return out.transpose(0, 3, 1, 4, 2).reshape(B, h * s, w * s)
+    # interleave: (B, pr, pc, h, wp) → (B, h, pr, w, pc) → (B, h·s, w·s)
+    return out.transpose(0, 3, 1, 4, 2)[:, :, :, :w, :].reshape(B, h * s, w * s)
 
 
 def upsample_argmax_reference(logits: jax.Array, scale: int) -> jax.Array:

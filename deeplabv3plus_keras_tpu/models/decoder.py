@@ -38,7 +38,13 @@ class Decoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, base_features, encoder_features, train: bool = False):
+    def __call__(
+        self,
+        base_features,
+        encoder_features,
+        train: bool = False,
+        return_presample: bool = False,
+    ):
         x = encoder_features
         if self.boundary_refinement:
             low = ConvBNReLU(
@@ -67,5 +73,9 @@ class Decoder(nn.Module):
         up = self.output_stride
         if self.boundary_refinement:
             up = up // 8 if up == 16 else up // 4  # → ×2 either way (:899-902)
+        if return_presample:
+            # low-resolution logits + the upsample factor, for fused
+            # upsample+argmax consumers (kernels/upsample_argmax).
+            return x, up
         x = tf_resize_images(x, up, up)
         return nn.softmax(x, axis=-1)

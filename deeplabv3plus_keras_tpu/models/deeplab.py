@@ -59,9 +59,14 @@ class DeepLabV3Plus(nn.Module):
             name="decoder",
         )
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_presample: bool = False):
         base_features = self.base(x, train)
         encoder_features = self.encoder(base_features, train)
+        if return_presample:
+            logits, up = self.decoder(
+                base_features, encoder_features, train, return_presample=True
+            )
+            return logits.astype(jnp.float32), up
         probs = self.decoder(base_features, encoder_features, train)
         # Softmax output in float32 regardless of compute dtype (loss/mIoU
         # numerics stay fp32 even under bf16 compute).

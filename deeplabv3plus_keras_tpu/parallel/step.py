@@ -133,19 +133,26 @@ def build_predict_step(model) -> Callable:
     return predict_step
 
 
-def build_label_step(model) -> Callable:
-    """Class-index prediction entirely on device: argmax over the softmax
-    output (≡ argmax of logits).  Avoids ever transferring the
-    (B, S, S, C) probability tensor to host — the reference's test loop
-    pulled full probs through ``model.predict`` then argmaxed on host
-    (semantic_segmentation.py:1169-1181)."""
+def build_label_step(model, use_pallas: bool = True) -> Callable:
+    """Class-index prediction entirely on device.
+
+    argmax∘softmax∘upsample ≡ argmax∘upsample, so labels are computed from
+    the decoder's *pre-upsample* logits through the fused Pallas
+    upsample+argmax kernel (kernels/upsample_argmax) — the (B, S, S, C)
+    probability tensor never exists, on device or host.  The reference's
+    test loop pulled full probs through ``model.predict`` and argmaxed on
+    host (semantic_segmentation.py:1169-1181).
+    """
+    from ..kernels import upsample_argmax
 
     def label_step(state: TrainState, images):
-        probs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images,
-            train=False,
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if use_pallas:
+            logits, up = model.apply(
+                variables, images, train=False, return_presample=True
+            )
+            return upsample_argmax(logits, up)
+        probs = model.apply(variables, images, train=False)
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
     return label_step
