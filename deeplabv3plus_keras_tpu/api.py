@@ -139,8 +139,15 @@ class SemanticSegmentation:
         )
 
     def _batches(self, loader, with_labels: bool = True):
+        # extra key 'sparse_labels': feed integer labels instead of one-hot
+        # (identical numerics via the sparse loss/CM; ~C× less label HBM).
+        one_hot = not self.conf.extra.get("sparse_labels", False)
         return pipe.device_batches(
-            loader, self.nn_arch.image_size, self.nn_arch.num_classes, with_labels
+            loader,
+            self.nn_arch.image_size,
+            self.nn_arch.num_classes,
+            with_labels,
+            one_hot_labels=one_hot,
         )
 
     # ------------------------------------------------------------------

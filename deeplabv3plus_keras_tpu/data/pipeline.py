@@ -167,7 +167,11 @@ class HostLoader:
 
 
 def device_batches(
-    loader: HostLoader, image_size: int, num_classes: int, with_labels: bool = True
+    loader: HostLoader,
+    image_size: int,
+    num_classes: int,
+    with_labels: bool = True,
+    one_hot_labels: bool = True,
 ):
     """Wrap a HostLoader into device-ready training batches.
 
@@ -187,6 +191,7 @@ def device_batches(
             size=image_size,
             num_classes=num_classes,
             with_labels=with_labels,
+            one_hot_labels=one_hot_labels,
         )
         out = {
             "image": images,

@@ -111,7 +111,9 @@ def _resize_pad_canvas(canvas, h, w, size: int):
     return shifted * valid[:, :, None]
 
 
-@functools.partial(jax.jit, static_argnames=("size", "num_classes", "with_labels"))
+@functools.partial(
+    jax.jit, static_argnames=("size", "num_classes", "with_labels", "one_hot_labels")
+)
 def prepare_batch(
     image_canvas,
     image_sizes,
@@ -120,6 +122,7 @@ def prepare_batch(
     size: int,
     num_classes: int = 21,
     with_labels: bool = True,
+    one_hot_labels: bool = True,
 ):
     """On-device batched preprocessing.
 
@@ -128,7 +131,10 @@ def prepare_batch(
     label_canvas: (B, CH, CW) uint8 label ids (or None).
 
     Returns (images (B, size, size, 3) float32 in (−1,1),
-             one-hot labels (B, size, size, num_classes) or None).
+             labels — one-hot (B, size, size, num_classes), or int32
+             (B, size, size) when ``one_hot_labels=False`` (the sparse
+             training path; see train/loss.class_balanced_loss_sparse) —
+             or None).
     """
     def per_image(canvas, hw):
         img = normalize_image(canvas)
@@ -147,7 +153,7 @@ def prepare_batch(
             lab = _resize_pad_canvas(lab[..., None], hw[0], hw[1], size)[..., 0]
             lab = jnp.rint(lab).astype(jnp.int32)
             lab = clamp_label(lab, num_classes)
-            return one_hot(lab, num_classes)
+            return one_hot(lab, num_classes) if one_hot_labels else lab
 
         labels = jax.vmap(per_label)(label_canvas, image_sizes)
     return images, labels

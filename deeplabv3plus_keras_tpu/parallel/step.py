@@ -29,8 +29,14 @@ import optax
 from flax import struct
 
 from ..config import Config
-from ..train.loss import SS_NW, SS_PW, class_balanced_loss, l2_penalty
-from ..train.metrics import confusion_matrix_update
+from ..train.loss import (
+    SS_NW,
+    SS_PW,
+    class_balanced_loss,
+    class_balanced_loss_sparse,
+    l2_penalty,
+)
+from ..train.metrics import confusion_matrix_update, confusion_matrix_update_sparse
 from ..train.optimizer import make_optimizer
 from . import mesh as mesh_lib
 
@@ -42,6 +48,21 @@ def default_class_weights(num_classes: int):
     if num_classes == len(SS_PW):
         return SS_PW, SS_NW
     return np.ones(num_classes, np.float32), np.zeros(num_classes, np.float32)
+
+
+def _loss_for(label, probs, pw, nw, valid):
+    """Dispatch on label layout: one-hot (B,H,W,C) — the reference Sequence
+    contract (:1746) — or integer (B,H,W), which skips the one-hot tensor
+    entirely (identical numerics; see train/loss.py)."""
+    if label.ndim == probs.ndim:
+        return class_balanced_loss(label, probs, pw, nw, valid=valid)
+    return class_balanced_loss_sparse(label, probs, pw, nw, valid=valid)
+
+
+def _cm_for(label, probs, num_classes, valid):
+    if label.ndim == probs.ndim:
+        return confusion_matrix_update(label, probs, num_classes, valid)
+    return confusion_matrix_update_sparse(label, probs, num_classes, valid)
 
 
 class TrainState(struct.PyTreeNode):
@@ -78,9 +99,7 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
                 rngs={"dropout": step_rng},
                 mutable=["batch_stats"],
             )
-            loss = class_balanced_loss(
-                batch["label"], probs, pw, nw, valid=batch["valid"]
-            )
+            loss = _loss_for(batch["label"], probs, pw, nw, batch["valid"])
             loss = loss + l2_penalty(params, wd)
             return loss, (probs, mutated["batch_stats"])
 
@@ -95,7 +114,7 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
             batch_stats=new_bs,
             opt_state=new_opt_state,
         )
-        cm = confusion_matrix_update(batch["label"], probs, num_classes, batch["valid"])
+        cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
         return new_state, {"loss": loss, "cm": cm}
 
     return train_step
@@ -112,11 +131,9 @@ def build_eval_step(model, conf: Config, class_weights=None) -> Callable:
             batch["image"],
             train=False,
         )
-        loss = class_balanced_loss(
-            batch["label"], probs, pw, nw, valid=batch["valid"]
-        )
+        loss = _loss_for(batch["label"], probs, pw, nw, batch["valid"])
         loss = loss + l2_penalty(state.params, wd)
-        cm = confusion_matrix_update(batch["label"], probs, num_classes, batch["valid"])
+        cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
         return {"loss": loss, "cm": cm, "probs": probs}
 
     return eval_step

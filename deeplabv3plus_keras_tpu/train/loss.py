@@ -67,6 +67,43 @@ def class_balanced_loss(
     return jnp.sum(per_pixel * v) / denom
 
 
+def class_balanced_loss_sparse(
+    labels,
+    y_pred,
+    pos_weights=SS_PW,
+    neg_weights=SS_NW,
+    epsilon: float = 1e-7,
+    valid=None,
+):
+    """Integer-label form of ``class_balanced_loss`` — identical numerics
+    without ever materializing the (B, H, W, C) one-hot tensor.
+
+    With t the true class and p the probabilities, the per-pixel loss
+    −Σ_i [pw_i·y_i·log(p_i+ε) + nw_i·(1−y_i)·log(1−p_i+ε)] collapses to
+
+        −[ pw_t·log(p_t+ε) + Σ_i nw_i·log(1−p_i+ε) − nw_t·log(1−p_t+ε) ].
+
+    labels: (B, H, W) int; y_pred: (B, H, W, C) probabilities.
+    """
+    pw = jnp.asarray(pos_weights, jnp.float32)
+    nw = jnp.asarray(neg_weights, jnp.float32)
+    p = y_pred.astype(jnp.float32)
+    t = labels.astype(jnp.int32)
+
+    log1m = jnp.log(1.0 - p + epsilon)
+    neg_sum = jnp.einsum("...c,c->...", log1m, nw)  # Σ_i nw_i·log(1−p_i+ε)
+    p_t = jnp.take_along_axis(p, t[..., None], axis=-1)[..., 0]
+    log1m_t = jnp.log(1.0 - p_t + epsilon)
+    per_pixel = -(
+        pw[t] * jnp.log(p_t + epsilon) + neg_sum - nw[t] * log1m_t
+    )
+    if valid is None:
+        return jnp.mean(per_pixel)
+    v = valid.astype(jnp.float32).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
+    denom = jnp.maximum(v.sum() * per_pixel[0].size, 1.0)
+    return jnp.sum(per_pixel * v) / denom
+
+
 def l2_penalty(params, weight_decay: float):
     """``wd · Σ‖W‖²`` over conv kernels Keras regularizes (path has '_l2')."""
     if weight_decay == 0.0:

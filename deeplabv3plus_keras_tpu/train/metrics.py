@@ -45,6 +45,23 @@ def confusion_matrix_update(y_true, y_pred, num_classes: int, sample_valid=None)
     return cm.at[t.reshape(-1), p.reshape(-1)].add(w)
 
 
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def confusion_matrix_update_sparse(labels, y_pred, num_classes: int, sample_valid=None):
+    """Integer-label confusion-matrix update: labels (B, ...) int vs
+    argmax(y_pred) — avoids the one-hot argmax round trip."""
+    t = labels.astype(jnp.int32)
+    p = jnp.argmax(y_pred, axis=-1)
+    if sample_valid is not None:
+        w = jnp.broadcast_to(
+            sample_valid.astype(jnp.int32).reshape((-1,) + (1,) * (t.ndim - 1)),
+            t.shape,
+        ).reshape(-1)
+    else:
+        w = jnp.ones(t.size, jnp.int32)
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    return cm.at[t.reshape(-1), p.reshape(-1)].add(w)
+
+
 def mean_iou_from_cm(cm):
     """Keras MeanIoU reduction: mean over classes with nonzero denominator."""
     cm = cm.astype(jnp.float64) if cm.dtype == jnp.int64 else cm.astype(jnp.float32)
