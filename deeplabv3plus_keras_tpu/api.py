@@ -142,12 +142,17 @@ class SemanticSegmentation:
         # extra key 'sparse_labels': feed integer labels instead of one-hot
         # (identical numerics via the sparse loss/CM; ~C× less label HBM).
         one_hot = not self.conf.extra.get("sparse_labels", False)
+        from .config import DEVICE_CPU
+
         return pipe.device_batches(
             loader,
             self.nn_arch.image_size,
             self.nn_arch.num_classes,
             with_labels,
             one_hot_labels=one_hot,
+            # prepro_device == -1 selects the host SciPy path (reference
+            # DEVICE_CPU, semantic_segmentation.py:49, conf.json:8).
+            host_prepro=self.conf.prepro_device == DEVICE_CPU,
         )
 
     # ------------------------------------------------------------------

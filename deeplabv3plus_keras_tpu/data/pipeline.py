@@ -172,16 +172,57 @@ def device_batches(
     num_classes: int,
     with_labels: bool = True,
     one_hot_labels: bool = True,
+    host_prepro: bool = False,
 ):
     """Wrap a HostLoader into device-ready training batches.
 
     Runs ops.prepare_batch (jit, on the default device / sharded by the
     caller's step function) producing {'image', 'label', 'valid'} plus
-    names for test mode.
+    names for test mode.  ``host_prepro=True`` is the reference's
+    ``prepro_device == DEVICE_CPU`` path (per-sample SciPy resize on host,
+    semantic_segmentation.py:158-172) — numerically the golden reference
+    for the device kernel, kept for parity/debugging.
     """
+    import numpy as np_
     import jax.numpy as jnp
 
-    from ..ops.preprocess import prepare_batch
+    from ..ops.preprocess import host_prepare_sample, prepare_batch
+
+    if host_prepro:
+        for host_batch in loader:
+            B = host_batch["sizes"].shape[0]
+            images = np_.zeros((B, image_size, image_size, 3), np_.float32)
+            labels = (
+                np_.zeros((B, image_size, image_size, num_classes), np_.float32)
+                if with_labels
+                else None
+            )
+            for i in range(B):
+                if not host_batch["valid"][i]:
+                    continue
+                h, w = host_batch["sizes"][i]
+                img = host_batch["image_canvas"][i, :h, :w]
+                lab = (
+                    host_batch["label_canvas"][i, :h, :w]
+                    if with_labels and host_batch["label_canvas"] is not None
+                    else None
+                )
+                im, oh = host_prepare_sample(img, lab, image_size, num_classes)
+                images[i] = im
+                if labels is not None and oh is not None:
+                    labels[i] = oh
+            out = {
+                "image": jnp.asarray(images),
+                "valid": jnp.asarray(host_batch["valid"]),
+                "names": host_batch["names"],
+            }
+            if with_labels:
+                lab_arr = jnp.asarray(labels)
+                if not one_hot_labels:
+                    lab_arr = jnp.argmax(lab_arr, axis=-1).astype(jnp.int32)
+                out["label"] = lab_arr
+            yield out
+        return
 
     for host_batch in loader:
         images, labels = prepare_batch(
