@@ -3,9 +3,15 @@
 Baseline (BASELINE.md): the reference's only quantitative evidence is the
 Colab log — MobileNetV2 + boundary refinement, 512², batch 6 on a V100 at
 ~4 s/step ⇒ ~1.5 images/sec.  This harness measures the same flagship
-configuration's jit-compiled train step (forward + backward + Adam update +
-confusion-matrix metric, matching what a Keras fit step computed) plus the
-inference step, on one TPU chip.
+configuration on one TPU chip:
+
+- train: forward + backward + Adam update + confusion-matrix metric
+  (everything a Keras fit step computed), sparse integer labels;
+- infer: full softmax-probability forward (the reference predict path);
+- labels: the fused Pallas upsample+argmax inference path.
+
+Steps are driven by a ``lax.scan`` inside one jit so the measurement is
+pure device throughput, not host/tunnel dispatch latency.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -20,7 +26,7 @@ import time
 BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
 
 
-def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, warmup: int = 3):
+def run(image_size: int = 512, batch_size: int = 8, steps: int = 30):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -28,6 +34,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, warmup: int
     from __graft_entry__ import _flagship_conf
     from deeplabv3plus_keras_tpu.models import init_model
     from deeplabv3plus_keras_tpu.parallel import (
+        build_label_step,
         build_predict_step,
         build_train_step,
         create_train_state,
@@ -35,65 +42,69 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, warmup: int
         shard_step,
     )
 
-    from deeplabv3plus_keras_tpu.parallel import build_label_step
-
     conf = _flagship_conf(image_size=image_size, batch_size=batch_size)
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
     mesh = make_mesh(n_data=1)
-    train_step = shard_step(build_train_step(model, tx, conf), mesh, kind="train")
+    train_step = build_train_step(model, tx, conf)
     predict_step = shard_step(build_predict_step(model), mesh, kind="predict")
     label_step = shard_step(build_label_step(model), mesh, kind="label")
 
     B = batch_size
     rng = jax.random.PRNGKey(1)
     np_rng = np.random.default_rng(0)
-    labels_int = jnp.asarray(np_rng.integers(0, 21, (B, image_size, image_size)), jnp.int32)
     batch = {
-        "image": jnp.asarray(np_rng.uniform(-1, 1, (B, image_size, image_size, 3)), jnp.float32),
-        # sparse integer labels (identical numerics to one-hot; see
-        # train/loss.class_balanced_loss_sparse)
-        "label": labels_int,
+        "image": jnp.asarray(
+            np_rng.uniform(-1, 1, (B, image_size, image_size, 3)), jnp.float32
+        ),
+        "label": jnp.asarray(
+            np_rng.integers(0, 21, (B, image_size, image_size)), jnp.int32
+        ),
         "valid": jnp.ones((B,), jnp.int32),
     }
 
-    def timed(fn, *args):
-        out = fn(*args)
+    @jax.jit
+    def multi_train(state, batch, rng):
+        def body(s, _):
+            s, m = train_step(s, batch, rng)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, None, length=steps)
+
+    def timed_once(fn, *args):
+        out = fn(*args)  # compile + warm
         jax.block_until_ready(jax.tree.leaves(out)[0])
         t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
+        out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out)[0])
         return time.perf_counter() - t0
 
-    # Warmup + timed train (state is donated → thread it).
-    for _ in range(warmup):
-        state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
-    train_time = time.perf_counter() - t0
+    train_time = timed_once(multi_train, state, batch, rng) / steps
+    state, _ = multi_train(state, batch, rng)
 
-    infer_time = timed(predict_step, state, batch["image"])
-    label_time = timed(label_step, state, batch["image"])
+    def timed_loop(fn, *args, n=steps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
 
-    train_ips = B * steps / train_time
-    infer_ips = B * steps / infer_time
-    label_ips = B * steps / label_time
-    # Combined metric: one train step + one (probability) infer pass per image.
-    combined = B / (train_time / steps + infer_time / steps)
+    infer_time = timed_loop(predict_step, state, batch["image"])
+    label_time = timed_loop(label_step, state, batch["image"])
 
+    combined = B / (train_time + infer_time)
     return {
         "metric": "512x512 images/sec/chip (infer + train step), MobileNetV2+refinement",
         "value": round(combined, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(combined / BASELINE_IMAGES_PER_SEC, 2),
         "detail": {
-            "train_images_per_sec": round(train_ips, 3),
-            "infer_probs_images_per_sec": round(infer_ips, 3),
-            "infer_labels_images_per_sec_pallas": round(label_ips, 3),
+            "train_images_per_sec": round(B / train_time, 3),
+            "infer_probs_images_per_sec": round(B / infer_time, 3),
+            "infer_labels_images_per_sec_pallas": round(B / label_time, 3),
+            "train_step_ms": round(train_time * 1e3, 3),
             "batch_size": B,
             "image_size": image_size,
             "device": str(jax.devices()[0]),

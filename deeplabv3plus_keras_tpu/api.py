@@ -82,10 +82,16 @@ class SemanticSegmentation:
         self.model = create_model(self.conf)
         self.rng = jax.random.PRNGKey(1024)  # reference seeds 1024 (:1797-1802)
 
-        # Mesh: num_gpus becomes the data-parallel degree (the reference's
-        # vestigial multi_gpu keys made live; see parallel/mesh.py).
+        # Mesh: num_gpus becomes the device count (the reference's vestigial
+        # multi_gpu keys made live; see parallel/mesh.py); the extra key
+        # 'mesh_space' splits it into ('data', 'space') for spatial
+        # sharding of large images (conv halos inserted by GSPMD).
         n_devices = min(self.conf.num_devices, len(jax.devices()))
-        self.mesh = make_mesh(n_data=n_devices)
+        n_space = max(1, int(self.conf.extra.get("mesh_space", 1)))
+        if n_devices % n_space:
+            raise ValueError(f"mesh_space {n_space} must divide num devices {n_devices}")
+        self._spatial = n_space > 1
+        self.mesh = make_mesh(n_data=n_devices // n_space, n_space=n_space)
 
         init_rng, self.rng = jax.random.split(self.rng)
         size = self.nn_arch.image_size
@@ -97,10 +103,16 @@ class SemanticSegmentation:
             self.state = restore_checkpoint(self.state, work_dir)
 
         self._train_step = shard_step(
-            build_train_step(self.model, self.tx, self.conf), self.mesh, kind="train"
+            build_train_step(self.model, self.tx, self.conf),
+            self.mesh,
+            kind="train",
+            spatial=self._spatial,
         )
         self._eval_step = shard_step(
-            build_eval_step(self.model, self.conf), self.mesh, kind="eval"
+            build_eval_step(self.model, self.conf),
+            self.mesh,
+            kind="eval",
+            spatial=self._spatial,
         )
         self._predict_step = shard_step(
             build_predict_step(self.model), self.mesh, kind="predict"
