@@ -10,8 +10,13 @@ configuration on one TPU chip:
 - infer: full softmax-probability forward (the reference predict path);
 - labels: the fused Pallas upsample+argmax inference path.
 
-Steps are driven by a ``lax.scan`` inside one jit so the measurement is
-pure device throughput, not host/tunnel dispatch latency.
+Measurement integrity: every timed region drives ``steps`` iterations
+through a ``lax.scan`` inside ONE jit and ends with
+``jax.block_until_ready`` on the COMPLETE output tree plus a scalar value
+fetch.  (Blocking on a single small output — e.g. a loss scalar or step
+counter — returns before the heavy tensors complete through the remote
+PJRT tunnel and inflates throughput by orders of magnitude; verified with
+tools/barrier_check.py.)
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -26,7 +31,7 @@ import time
 BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
 
 
-def run(image_size: int = 512, batch_size: int = 8, steps: int = 30):
+def run(image_size: int = 512, batch_size: int = 8, steps: int = 20):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,10 +50,9 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 30):
     conf = _flagship_conf(image_size=image_size, batch_size=batch_size)
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
-    mesh = make_mesh(n_data=1)
     train_step = build_train_step(model, tx, conf)
-    predict_step = shard_step(build_predict_step(model), mesh, kind="predict")
-    label_step = shard_step(build_label_step(model), mesh, kind="label")
+    predict_step = build_predict_step(model)
+    label_step = build_label_step(model)
 
     B = batch_size
     rng = jax.random.PRNGKey(1)
@@ -71,28 +75,46 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 30):
 
         return jax.lax.scan(body, state, None, length=steps)
 
-    def timed_once(fn, *args):
+    @jax.jit
+    def multi_infer(state, images):
+        def body(acc, _):
+            # thread the carry into the input: defeats loop-invariant code
+            # motion (the perturbation underflows to zero in fp32, so the
+            # computation is numerically the plain forward).
+            probs = predict_step(state, images + acc * 1e-30)
+            return probs.mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+        return acc
+
+    @jax.jit
+    def multi_label(state, images):
+        def body(acc, _):
+            labels = label_step(state, images + acc * 1e-30)
+            return labels.sum().astype(jnp.float32) * 1e-30, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+        return acc
+
+    def timed(fn, *args):
         out = fn(*args)  # compile + warm
-        jax.block_until_ready(jax.tree.leaves(out)[0])
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
-        return time.perf_counter() - t0
-
-    train_time = timed_once(multi_train, state, batch, rng) / steps
-    state, _ = multi_train(state, batch, rng)
-
-    def timed_loop(fn, *args, n=steps):
-        out = fn(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
+        out = fn(*args)
+        # block on the COMPLETE output tree (blocking on one small leaf
+        # returns early through the remote-PJRT tunnel), but fetch only a
+        # scalar — np.asarray of large leaves would time the tunnel
+        # transfer, not the compute.
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n
+        scalar = jax.tree.leaves(out)[-1]
+        if scalar.ndim > 0:
+            scalar = scalar.reshape(-1)[-1]
+        float(scalar)
+        return (time.perf_counter() - t0) / steps
 
-    infer_time = timed_loop(predict_step, state, batch["image"])
-    label_time = timed_loop(label_step, state, batch["image"])
+    train_time = timed(multi_train, state, batch, rng)
+    infer_time = timed(multi_infer, state, batch["image"])
+    label_time = timed(multi_label, state, batch["image"])
 
     combined = B / (train_time + infer_time)
     return {
@@ -105,6 +127,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 30):
             "infer_probs_images_per_sec": round(B / infer_time, 3),
             "infer_labels_images_per_sec_pallas": round(B / label_time, 3),
             "train_step_ms": round(train_time * 1e3, 3),
+            "infer_ms": round(infer_time * 1e3, 3),
             "batch_size": B,
             "image_size": image_size,
             "device": str(jax.devices()[0]),
