@@ -20,7 +20,8 @@ def timed_scan(fn, x, k, steps=20):
     @jax.jit
     def multi(x, k):
         def body(acc, _):
-            return acc + fn(x, k).mean(), None
+            # carry-threaded input defeats loop-invariant code motion
+            return fn(x + acc * 1e-30, k).mean(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
         return acc
@@ -49,9 +50,9 @@ def main():
     b = np.asarray(tap_major_conv3x3_same(x, k))
     print("maxdiff", np.abs(a - b).max(), flush=True)
 
-    t_d = timed_scan(direct, x, k)
+    t_d = min(timed_scan(direct, x, k) for _ in range(3))
     print(f"direct    {t_d*1e3:.3f} ms", flush=True)
-    t_t = timed_scan(tap_major_conv3x3_same, x, k)
+    t_t = min(timed_scan(tap_major_conv3x3_same, x, k) for _ in range(3))
     print(f"tap-major {t_t*1e3:.3f} ms  speedup {t_d/t_t:.2f}x", flush=True)
 
     # gradient (the training cost): d/dk sum(sin(conv))
@@ -61,8 +62,8 @@ def main():
         @jax.jit
         def multig(x, k, g=g):
             def body(acc, _):
-                gg = g(k, x)
-                return acc + gg.mean(), None
+                gg = g(k, x + acc * 1e-30)
+                return gg.mean(), None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=10)
             return acc
