@@ -31,7 +31,7 @@ import time
 BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
 
 
-def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3):
+def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3, dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,6 +48,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
     )
 
     conf = _flagship_conf(image_size=image_size, batch_size=batch_size)
+    conf.hps.dtype = dtype
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
     train_step = build_train_step(model, tx, conf)
@@ -133,6 +134,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "infer_ms": round(infer_time * 1e3, 3),
             "batch_size": B,
             "image_size": image_size,
+            "dtype": dtype,
             "device": str(jax.devices()[0]),
         },
     }
@@ -141,5 +143,6 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
 if __name__ == "__main__":
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    result = run(image_size=size, batch_size=batch)
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    result = run(image_size=size, batch_size=batch, dtype=dtype)
     print(json.dumps(result))
