@@ -6,9 +6,11 @@ matrix (``accum_enable`` toggles add vs replace), and reduces with the
 Keras MeanIoU formula: per-class IoU = diag / (rowsum + colsum − diag),
 averaged over classes whose denominator is > 0.
 
-Here the update is a jittable scatter-add (no host loop); counts are int32
-(sufficient for ~8k 512² images per class pair; the reference used float64
-because TF's confusion_matrix required a float dtype).
+Here the update is an MXU matmul of one-hot indicators (a scatter-add
+formulation costs ~19 ms per 8×512² batch on TPU — serialized scatter;
+the matmul is ~2 GFLOP and exact); counts are int32 (sufficient for ~8k
+512² images per class pair; the reference used float64 because TF's
+confusion_matrix required a float dtype).
 """
 
 from __future__ import annotations
@@ -17,10 +19,32 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def empty_confusion_matrix(num_classes: int):
     return jnp.zeros((num_classes, num_classes), jnp.int32)
+
+
+def _cm_matmul(t, p, num_classes: int, sample_valid):
+    """cm[i, j] = #pixels with true i, predicted j — computed as
+    one_hot(t)ᵀ @ one_hot(p) on the MXU.  A scatter-add formulation costs
+    ~19 ms per 8×512² batch on TPU (serialized scatter); the matmul is
+    ~2 GFLOP and exact (fp32 integer sums < 2²⁴; per-batch pixel count
+    must stay below that, which holds for any realistic batch)."""
+    t1h = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+    if sample_valid is not None:
+        v = sample_valid.astype(jnp.float32).reshape((-1,) + (1,) * (t1h.ndim - 1))
+        t1h = t1h * v
+    p1h = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    n = int(np.prod(t.shape))
+    cm = jnp.einsum(
+        "nc,nd->cd",
+        t1h.reshape(n, num_classes),
+        p1h.reshape(n, num_classes),
+        preferred_element_type=jnp.float32,
+    )
+    return cm.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
@@ -34,15 +58,7 @@ def confusion_matrix_update(y_true, y_pred, num_classes: int, sample_valid=None)
     """
     t = jnp.argmax(y_true, axis=-1)
     p = jnp.argmax(y_pred, axis=-1)
-    if sample_valid is not None:
-        w = jnp.broadcast_to(
-            sample_valid.astype(jnp.int32).reshape((-1,) + (1,) * (t.ndim - 1)),
-            t.shape,
-        ).reshape(-1)
-    else:
-        w = jnp.ones(t.size, jnp.int32)
-    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-    return cm.at[t.reshape(-1), p.reshape(-1)].add(w)
+    return _cm_matmul(t, p, num_classes, sample_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
@@ -51,15 +67,7 @@ def confusion_matrix_update_sparse(labels, y_pred, num_classes: int, sample_vali
     argmax(y_pred) — avoids the one-hot argmax round trip."""
     t = labels.astype(jnp.int32)
     p = jnp.argmax(y_pred, axis=-1)
-    if sample_valid is not None:
-        w = jnp.broadcast_to(
-            sample_valid.astype(jnp.int32).reshape((-1,) + (1,) * (t.ndim - 1)),
-            t.shape,
-        ).reshape(-1)
-    else:
-        w = jnp.ones(t.size, jnp.int32)
-    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-    return cm.at[t.reshape(-1), p.reshape(-1)].add(w)
+    return _cm_matmul(t, p, num_classes, sample_valid)
 
 
 def mean_iou_from_cm(cm):
