@@ -37,6 +37,37 @@ _BN_MOM = 0.9997
 _BN_EPS = 1e-3
 
 
+def _correct_pad(x, kernel: int):
+    """Keras imagenet_utils.correct_pad: the explicit zero padding applied
+    before stride-2 VALID pools/convs ((0,1) on even sizes, (1,1) on odd
+    for k=3, etc.)."""
+    h, w = x.shape[1], x.shape[2]
+    c = kernel // 2
+    return ((c - (1 - h % 2), c), (c - (1 - w % 2), c))
+
+
+def _pool_s2_keras(x, kernel: int, op: str):
+    """Keras NASNet stride-2 pooling: ZeroPadding(correct_pad) + VALID pool.
+
+    NOT equivalent to SAME pooling: max pools take max against literal
+    zeros at the borders (SAME uses −inf), and the zero-padded VALID avg
+    divides by the full window (zeros included).
+    """
+    (pt, pb), (pl, pr) = _correct_pad(x, kernel)
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    if op == "max":
+        return nn.max_pool(xp, (kernel, kernel), strides=(2, 2), padding="VALID")
+    return nn.avg_pool(xp, (kernel, kernel), strides=(2, 2), padding="VALID")
+
+
+def _avg_s1_same_tf(x, kernel: int = 3):
+    """TF AveragePooling2D(padding='same', stride 1): padding EXCLUDED from
+    the divisor (flax's default includes it)."""
+    return nn.avg_pool(
+        x, (kernel, kernel), strides=(1, 1), padding="SAME", count_include_pad=False
+    )
+
+
 class _SepBlock(nn.Module):
     """[relu → SeparableConv(k, stride) → BN] ×2 (Keras
     _separable_conv_block)."""
@@ -116,7 +147,7 @@ class _NormalCell(nn.Module):
 
         sep = lambda inp, k, nm: _SepBlock(self.filters, kernel=k, dtype=self.dtype,
                                            name=nm)(inp, train)
-        avg = lambda t: nn.avg_pool(t, (3, 3), strides=(1, 1), padding="SAME")
+        avg = lambda t: _avg_s1_same_tf(t, 3)
 
         x1 = sep(h, 5, "normal_left1") + sep(p, 3, "normal_right1")
         x2 = sep(p, 5, "normal_left2") + sep(p, 3, "normal_right2")
@@ -149,13 +180,10 @@ class _ReductionCell(nn.Module):
         sep = lambda inp, k, s, nm: _SepBlock(self.filters, kernel=k, strides=s,
                                               dtype=self.dtype, name=nm)(inp, train)
         x1 = sep(h, 5, 2, "reduction_left1") + sep(p, 7, 2, "reduction_right1")
-        x2 = (nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
-              + sep(p, 7, 2, "reduction_right2"))
-        x3 = (nn.avg_pool(h, (3, 3), strides=(2, 2), padding="SAME")
-              + sep(p, 5, 2, "reduction_right3"))
-        x4 = nn.avg_pool(x1, (3, 3), strides=(1, 1), padding="SAME") + x2
-        x5 = (sep(x1, 3, 1, "reduction_left4")
-              + nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME"))
+        x2 = _pool_s2_keras(h, 3, "max") + sep(p, 7, 2, "reduction_right2")
+        x3 = _pool_s2_keras(h, 3, "avg") + sep(p, 5, 2, "reduction_right3")
+        x4 = _avg_s1_same_tf(x1, 3) + x2
+        x5 = sep(x1, 3, 1, "reduction_left4") + _pool_s2_keras(h, 3, "max")
         out = jnp.concatenate([x2, x3, x4, x5], axis=-1)
         return out, ip
 

@@ -38,6 +38,40 @@ def _keras_layer_name(path: tuple[str, ...]) -> str:
     return "_".join(parts)
 
 
+def _nasnet_layer_name(path: tuple[str, ...]) -> str | None:
+    """NASNet flax-path → Keras layer name.
+
+    Keras NASNet layers are named ``{inner}_{branch?}_{cell_id}`` where
+    cell_id ∈ {stem_1, stem_2, 0.., reduce_N} (keras nasnet.py name
+    scheme); our modules nest as cell/branch/inner:
+
+        ('cell_0', 'normal_conv_1')                            → normal_conv_1_0
+        ('cell_0', 'adjust', 'adjust_conv_projection')         → adjust_conv_projection_0
+        ('reduce_4', 'reduction_left1', 'separable_conv_1_depthwise')
+                                               → separable_conv_1_reduction_left1_reduce_4
+        ('cell_0', 'normal_left1', 'separable_conv_1_bn', 'bn')
+                                               → separable_conv_1_bn_normal_left1_0
+    """
+    head = path[0]
+    if head.startswith("cell_"):
+        cell_id = head[len("cell_") :]
+    elif head.startswith(("stem_", "reduce_")):
+        cell_id = head
+    else:
+        return None
+    rest = [c for c in path[1:] if c != "adjust"]
+    if rest and rest[-1] == "bn":
+        rest = rest[:-1]
+    if not rest:
+        return None
+    inner = rest[-1]
+    for suffix in ("_depthwise", "_pointwise"):
+        if inner.endswith(suffix):
+            inner = inner[: -len(suffix)]
+    branch = rest[0] if len(rest) > 1 else None
+    return f"{inner}_{branch}_{cell_id}" if branch else f"{inner}_{cell_id}"
+
+
 def _index_keras_weights(keras_model) -> dict[str, dict[str, np.ndarray]]:
     """layer name → {weight kind → array}.  Kind inferred from the weight's
     own name (kernel / depthwise_kernel / pointwise_kernel / bias / gamma /
@@ -107,14 +141,19 @@ def convert_keras_backbone(keras_model, variables, base_path: str = "base"):
                 kw = kweights.get(_keras_layer_name(path[:-1]))
                 name = _keras_layer_name(path[:-1])
             if kw is None:
+                nn_name = _nasnet_layer_name(path)
+                if nn_name is not None and nn_name in kweights:
+                    kw = kweights[nn_name]
+                    name = nn_name
+            if kw is None:
                 missing.append(name)
                 return
             used.add(name)
             if "kernel" in ptree:
                 want = ptree["kernel"].shape
-                if path[-1] == "depthwise" and "depthwise_kernel" in kw:
+                if path[-1].endswith("depthwise") and "depthwise_kernel" in kw:
                     k = kw["depthwise_kernel"].transpose(0, 1, 3, 2)
-                elif path[-1] == "pointwise" and "pointwise_kernel" in kw:
+                elif path[-1].endswith("pointwise") and "pointwise_kernel" in kw:
                     k = kw["pointwise_kernel"]
                 elif "kernel" in kw:
                     k = kw["kernel"]

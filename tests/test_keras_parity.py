@@ -73,3 +73,38 @@ def test_efficientnetb0_parity(os_, cut):
     from tensorflow.keras.applications import EfficientNetB0
 
     convert_and_compare("efficientnetb0", EfficientNetB0, cut, os_, 96, atol=1e-3)
+
+
+@pytest.mark.parametrize("os_,adjust_bn", [(8, "adjust_bn_reduce_4"), (16, "adjust_bn_reduce_8")])
+def test_nasnetmobile_parity(os_, adjust_bn):
+    """The trickiest cut: activation_73/_132 in the reference (:675-693)
+    are process-global auto-numbered names; structurally they are the ReLU
+    fed by adjust_bn_reduce_4/_8 — located that way here (the auto counter
+    depends on how many models were built in the process)."""
+    from tensorflow import keras
+    from tensorflow.keras.applications import NASNetMobile
+
+    from deeplabv3plus_keras_tpu.models.backbones import get_backbone
+    from deeplabv3plus_keras_tpu.utils.keras_weights import convert_keras_backbone
+
+    full = NASNetMobile(input_shape=(96, 96, 3), include_top=False, weights=None)
+    cut_layer = None
+    for layer in full.layers:
+        if not layer.name.startswith("activation"):
+            continue
+        src = layer.input._keras_history[0]
+        if getattr(src, "name", None) == adjust_bn:
+            cut_layer = layer
+            break
+    assert cut_layer is not None, f"no ReLU fed by {adjust_bn}"
+    truncated = keras.Model(full.inputs, cut_layer.output)
+
+    bb = get_backbone("nasnetmobile", os_)
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables, report = convert_keras_backbone(full, variables, base_path="")
+    assert not report["missing"], f"unconverted: {report['missing'][:10]}"
+    ours = np.asarray(bb.apply(variables, x, train=False))
+    theirs = truncated.predict(x, verbose=0)
+    assert ours.shape == theirs.shape, (ours.shape, theirs.shape)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
