@@ -108,3 +108,18 @@ def test_nasnetmobile_parity(os_, adjust_bn):
     theirs = truncated.predict(x, verbose=0)
     assert ours.shape == theirs.shape, (ours.shape, theirs.shape)
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+@pytest.mark.parametrize("os_,cut", [(8, "block3c_add"), (16, "block5d_add")])
+def test_efficientnetb1_parity(os_, cut):
+    """B1 exercises the depth-scaling (ceil(1.1·r) repeats → the per-variant
+    cut letters, reference :549-556)."""
+    from tensorflow.keras.applications import EfficientNetB1
+
+    convert_and_compare("efficientnetb1", EfficientNetB1, cut, os_, 96, atol=1e-3)
+
+
+def test_densenet201_parity():
+    from tensorflow.keras.applications import DenseNet201
+
+    convert_and_compare("densenet201", DenseNet201, "pool4_conv", 16, 96, atol=1e-4)
