@@ -188,9 +188,14 @@ class _ReductionCell(nn.Module):
         return out, ip
 
 
+# skip_reduction: Keras NASNetLarge keeps the pre-reduction p after each
+# reduction cell (skip_reduction=True); Mobile takes the reduction's input
+# (False) — keras nasnet.py:219/236, 397, 485.
 _VARIANTS = {
-    "nasnetmobile": dict(stem_filters=32, penultimate=1056, num_blocks=4),
-    "nasnetlarge": dict(stem_filters=96, penultimate=4032, num_blocks=6),
+    "nasnetmobile": dict(stem_filters=32, penultimate=1056, num_blocks=4,
+                         skip_reduction=False),
+    "nasnetlarge": dict(stem_filters=96, penultimate=4032, num_blocks=6,
+                        skip_reduction=True),
 }
 
 
@@ -225,8 +230,10 @@ class NASNetBackbone(nn.Module):
             cut, _ = _ReductionCell(filters * 2, cut_at_right1_relu=True,
                                     dtype=self.dtype, name=f"reduce_{N}")(x, p, train)
             return cut
-        x, p = _ReductionCell(filters * 2, dtype=self.dtype,
-                              name=f"reduce_{N}")(x, p, train)
+        x, p0 = _ReductionCell(filters * 2, dtype=self.dtype,
+                               name=f"reduce_{N}")(x, p, train)
+        if not cfg["skip_reduction"]:
+            p = p0
         for i in range(N):
             x, p = _NormalCell(filters * 2, dtype=self.dtype,
                                name=f"cell_{N + i + 1}")(x, p, train)
