@@ -123,3 +123,33 @@ def test_densenet201_parity():
     from tensorflow.keras.applications import DenseNet201
 
     convert_and_compare("densenet201", DenseNet201, "pool4_conv", 16, 96, atol=1e-4)
+
+
+@pytest.mark.parametrize("os_,adjust_bn", [(16, "adjust_bn_reduce_12")])
+def test_nasnetlarge_parity(os_, adjust_bn):
+    """NASNetLarge adds skip_reduction=True semantics (p bypasses the
+    reduction cells) on top of the mobile wiring. Slow (~7 min on 1 CPU)."""
+    from tensorflow import keras
+    from tensorflow.keras.applications import NASNetLarge
+
+    from deeplabv3plus_keras_tpu.models.backbones import get_backbone
+    from deeplabv3plus_keras_tpu.utils.keras_weights import convert_keras_backbone
+
+    full = NASNetLarge(input_shape=(96, 96, 3), include_top=False, weights=None)
+    cut = None
+    for layer in full.layers:
+        if layer.name.startswith("activation"):
+            src = layer.input._keras_history[0]
+            if getattr(src, "name", None) == adjust_bn:
+                cut = layer
+                break
+    assert cut is not None
+    truncated = keras.Model(full.inputs, cut.output)
+    bb = get_backbone("nasnetlarge", os_)
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables, report = convert_keras_backbone(full, variables, base_path="")
+    assert not report["missing"]
+    ours = np.asarray(bb.apply(variables, x, train=False))
+    theirs = truncated.predict(x, verbose=0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
