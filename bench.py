@@ -35,6 +35,10 @@ BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
 
 def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3, dtype: str = "float32"):
     import jax
+
+    # persistent compile cache: repeat bench invocations skip the ~3 min
+    # XLA compile of the scanned train step
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     import jax.numpy as jnp
     import numpy as np
 
