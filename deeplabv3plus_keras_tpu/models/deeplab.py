@@ -38,6 +38,10 @@ class DeepLabV3Plus(nn.Module):
         hps = self.conf.hps
         dtype = _DTYPES.get(hps.dtype, jnp.float32)
         self.base = get_backbone(self.conf.base_model, arch.output_stride, dtype=dtype)
+        # extra config key 'remat': rematerialize backbone activations in
+        # the backward pass (jax.checkpoint) — trades ~⅓ more FLOPs for a
+        # large activation-memory cut, enabling bigger batches at 512².
+        self._remat = bool(self.conf.extra.get("remat", False))
         self.encoder = EncoderMiddle(
             middle_conf=tuple(arch.encoder_middle_conf),
             reduction_size=arch.reduction_size,
@@ -60,7 +64,10 @@ class DeepLabV3Plus(nn.Module):
         )
 
     def __call__(self, x, train: bool = False, return_presample: bool = False):
-        base_features = self.base(x, train)
+        if self._remat and train:
+            base_features = nn.remat(lambda m, xx: m(xx, True))(self.base, x)
+        else:
+            base_features = self.base(x, train)
         encoder_features = self.encoder(base_features, train)
         if return_presample:
             logits, up = self.decoder(
