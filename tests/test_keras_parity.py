@@ -153,3 +153,56 @@ def test_nasnetlarge_parity(os_, adjust_bn):
     ours = np.asarray(bb.apply(variables, x, train=False))
     theirs = truncated.predict(x, verbose=0)
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_h5_weight_loading_workflow(tmp_path):
+    """The offline pretrained-weights workflow users follow: save Keras
+    weights to .h5, rebuild + load + convert (utils.keras_weights.
+    load_keras_h5_backbone)."""
+    from tensorflow.keras.applications import MobileNetV2
+
+    from deeplabv3plus_keras_tpu.models.backbones import get_backbone
+    from deeplabv3plus_keras_tpu.utils.keras_weights import load_keras_h5_backbone
+
+    src = MobileNetV2(input_shape=(96, 96, 3), include_top=False, weights=None)
+    h5 = str(tmp_path / "mv2.weights.h5")
+    src.save_weights(h5)
+
+    bb = get_backbone("mobilenetv2", 16)
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables, report = load_keras_h5_backbone(
+        h5,
+        lambda: MobileNetV2(input_shape=(96, 96, 3), include_top=False, weights=None),
+        variables,
+        base_path="",
+    )
+    assert not report["missing"]
+
+    from tensorflow import keras
+
+    truncated = keras.Model(src.inputs, src.get_layer("block_12_add").output)
+    ours = np.asarray(bb.apply(variables, x, train=False))
+    theirs = truncated.predict(x, verbose=0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_reference_conf_json_runs_end_to_end():
+    """The EXACT config file shipped with the reference (densenet121,
+    224², boundary refinement, the 5-branch chained ASPP) constructs and
+    runs through segment() — the strongest config-surface compatibility
+    proof."""
+    import jax.numpy as jnp
+
+    from deeplabv3plus_keras_tpu import SemanticSegmentation
+    from deeplabv3plus_keras_tpu.config import Config
+
+    conf = Config.from_json(
+        "/root/reference/bodhi/deeplabv3plus_keras/"
+        "semantic_segmentation_deeplabv3plus_conf.json"
+    )
+    conf.model_loading = False
+    ss = SemanticSegmentation(conf, work_dir=".")
+    labels = ss.segment(jnp.zeros((1, 224, 224, 3), jnp.float32))
+    assert labels.shape == (1, 224, 224)
+    assert labels.max() <= conf.nn_arch.num_classes - 1
