@@ -94,3 +94,17 @@ def test_openimages_test_mode_has_no_labels(oi_root):
 
     specs = google_open_images_v5(oi_root, MODE_TEST)
     assert all(s.label_path is None for s in specs)
+
+
+def test_loader_surfaces_decode_errors(voc_root):
+    """A worker hitting an unreadable file must raise in the consumer, not
+    hang or silently skip (the reference's enqueuer semantics)."""
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)[:2]
+    specs.append(
+        SampleSpec(name="missing", image_path="/nonexistent/x.jpg", label_path=None)
+    )
+    loader = HostLoader(specs, batch_size=2, canvas_size=128, workers=2)
+    with pytest.raises(Exception):
+        list(loader)

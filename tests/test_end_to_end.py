@@ -140,3 +140,12 @@ def test_cli_roundtrip(workspace, tmp_path, monkeypatch):
     conf_path.write_text(json.dumps(conf))
     monkeypatch.chdir(str(workspace))
     assert cli.main([str(conf_path)]) == 0
+
+
+def test_evaluate_on_train_split(workspace, trained):
+    """eval_data_mode=0 evaluates the TRAIN split (reference
+    eval_data_mode semantics, MODE_TRAIN=0)."""
+    ss, _ = trained
+    m = ss.evaluate(mode=0)
+    assert 0.0 <= m.result() <= 1.0
+    assert m.total_cm.sum() > 0
