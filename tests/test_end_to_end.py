@@ -149,3 +149,26 @@ def test_evaluate_on_train_split(workspace, trained):
     m = ss.evaluate(mode=0)
     assert 0.0 <= m.result() <= 1.0
     assert m.total_cm.sum() > 0
+
+
+def test_stablehlo_roundtrip(workspace, trained):
+    """The exported artifact must deserialize and execute (the serving
+    path): jax.export round-trip, outputs match the live model."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    ss, _ = trained
+    written = ss.convert_to_tf_lite()
+    path = [p for p in written if p.endswith(".stablehlo")][0]
+    exported = jax_export.deserialize(open(path, "rb").read())
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    probs = exported.call(x)
+    # reference value straight from the model (the sharded predict step
+    # requires batch % mesh size == 0; the export is fixed to batch 1)
+    live = ss.model.apply(
+        {"params": ss.state.params, "batch_stats": ss.state.batch_stats},
+        x,
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(live), atol=1e-5)
