@@ -108,3 +108,33 @@ def test_loader_surfaces_decode_errors(voc_root):
     loader = HostLoader(specs, batch_size=2, canvas_size=128, workers=2)
     with pytest.raises(Exception):
         list(loader)
+
+
+def test_compute_class_weights_tool(voc_root):
+    """tools/compute_class_weights.py path: weight computation over the
+    synthetic VOC labels (reference cal_ss_class_imbalance_weights)."""
+    import os
+
+    from deeplabv3plus_keras_tpu.train import compute_class_balance_weights
+
+    lab_dir = os.path.join(voc_root, "VOCdevkit", "VOC2012", "SegmentationClassAug")
+    paths = [os.path.join(lab_dir, f) for f in sorted(os.listdir(lab_dir))]
+    pw, nw = compute_class_balance_weights(paths, 21)
+    np.testing.assert_allclose(pw + nw, 1.0, atol=1e-6)
+    assert nw.sum() > 0  # frequencies observed
+
+
+def test_config_roundtrip_preserves_extra_keys():
+    from deeplabv3plus_keras_tpu.config import Config
+
+    d = {"mode": "train", "base_model": "xception", "my_custom_key": {"a": 1},
+         "sparse_labels": True,
+         "hps": {"lr": 0.01}, "nn_arch": {"output_stride": 8,
+         "encoder_middle_conf": [{"kernel": 1, "op": "conv", "input": -1}]}}
+    c = Config.from_dict(d)
+    out = c.to_dict()
+    assert out["my_custom_key"] == {"a": 1}
+    assert out["sparse_labels"] is True
+    assert out["base_model"] == "xception"
+    assert out["hps"]["lr"] == 0.01
+    assert out["nn_arch"]["output_stride"] == 8
