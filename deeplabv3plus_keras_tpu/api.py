@@ -98,6 +98,14 @@ class SemanticSegmentation:
         variables = self.model.init(
             {"params": init_rng}, jnp.zeros((1, size, size, 3), jnp.float32), train=False
         )
+        # Pretrained ImageNet backbone (extra key 'backbone_weights':
+        # "imagenet" or an .h5 path) — the reference always fine-tunes from
+        # keras.applications ImageNet weights (:494-771); checkpoint restore
+        # below still takes precedence, as there the weights are the
+        # fine-tuned model's own.
+        from .utils.pretrained import load_pretrained_backbone
+
+        variables, _ = load_pretrained_backbone(self.conf, variables)
         self.state, self.tx = create_train_state(self.conf, variables)
         if self.conf.model_loading and checkpoint_exists(work_dir):
             self.state = restore_checkpoint(self.state, work_dir)
