@@ -1,12 +1,16 @@
 """Backbone registry coverage + cut-point shape tests for the lighter
 families (heavier ones are covered by -m parity tests and smoke scripts)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import jax
 import jax.numpy as jnp
-import pytest
 
 from deeplabv3plus_keras_tpu.config import ALL_BASE_MODELS
 from deeplabv3plus_keras_tpu.models.backbones import available_backbones, get_backbone
+
 
 
 def test_registry_covers_all_reference_backbones():

@@ -2,6 +2,10 @@
 (reference could only resume params at epoch granularity via SavedModel;
 here optimizer state and step resume exactly — SURVEY §5)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +19,7 @@ from deeplabv3plus_keras_tpu.parallel import (
     shard_step,
 )
 from deeplabv3plus_keras_tpu.train.checkpoint import (
+
     checkpoint_exists,
     restore_checkpoint,
     save_checkpoint,

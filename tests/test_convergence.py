@@ -2,6 +2,10 @@
 class-balanced loss down substantially (guards against silent gradient
 breakage anywhere in backbone/encoder/decoder/loss/optimizer)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +13,7 @@ import numpy as np
 from deeplabv3plus_keras_tpu.config import Config, MiddleOp
 from deeplabv3plus_keras_tpu.models import init_model
 from deeplabv3plus_keras_tpu.parallel import (
+
     build_train_step,
     create_train_state,
     make_mesh,

@@ -2,11 +2,15 @@
 synthetic mini-VOC fixture: train → checkpoint → reload → evaluate →
 test → segment → export (reference call stacks, SURVEY §3)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import json
 import os
 
 import numpy as np
-import pytest
+
 
 
 @pytest.fixture(scope="module")
@@ -149,6 +153,33 @@ def test_evaluate_on_train_split(workspace, trained):
     m = ss.evaluate(mode=0)
     assert 0.0 <= m.result() <= 1.0
     assert m.total_cm.sum() > 0
+
+
+def test_tflite_export_and_interpreter(workspace, trained):
+    """The real .tflite branch (reference convert_to_tf_lite, :1189-1205):
+    a flatbuffer must be written and the TFLite interpreter's output must
+    match the live model."""
+    tf = pytest.importorskip("tensorflow")
+    ss, _ = trained
+    written = ss.convert_to_tf_lite()
+    tfl = [p for p in written if p.endswith(".tflite")]
+    assert tfl, f"no .tflite produced: {written}"
+    assert os.path.getsize(tfl[0]) > 10_000
+
+    interp = tf.lite.Interpreter(model_path=tfl[0])
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    probs = interp.get_tensor(out["index"])
+    live = ss.model.apply(
+        {"params": ss.state.params, "batch_stats": ss.state.batch_stats},
+        x,
+        train=False,
+    )
+    np.testing.assert_allclose(probs, np.asarray(live), atol=1e-4)
 
 
 def test_stablehlo_roundtrip(workspace, trained):

@@ -1,9 +1,14 @@
 """prepro_device=-1 host (SciPy) path vs the on-device kernel: same batches
 (reference dual CPU/GPU preprocessing, semantic_segmentation.py:158-195)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import numpy as np
 
 from deeplabv3plus_keras_tpu.data import (
+
     HostLoader,
     MODE_TRAIN,
     device_batches,

@@ -1,12 +1,16 @@
 """Pallas kernel tests (run interpreted on the CPU backend; the same code
 compiles via Mosaic on TPU — validated by the TPU smoke scripts/bench)."""
 
-import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
+import numpy as np
 
 import jax.numpy as jnp
 
 from deeplabv3plus_keras_tpu.kernels import upsample_argmax, upsample_argmax_reference
+
 
 
 @pytest.mark.parametrize("scale", [1, 2, 4, 8, 16])

@@ -2,12 +2,16 @@
 (SURVEY §4: shape tests for every encoder_middle_conf op and backbone cut
 point)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from deeplabv3plus_keras_tpu.config import Config, MiddleOp
+
 
 
 def small_conf(base_model="mobilenetv2", os_=16, refine=True, size=64):

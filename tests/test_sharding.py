@@ -2,14 +2,18 @@
 step must be numerically equivalent to the single-device step (the GSPMD
 gradient psum is an implementation detail, not a semantics change)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from deeplabv3plus_keras_tpu.config import Config, MiddleOp
 from deeplabv3plus_keras_tpu.models import init_model
 from deeplabv3plus_keras_tpu.parallel import (
+
     build_eval_step,
     build_train_step,
     create_train_state,

@@ -1,6 +1,10 @@
 """Sparse (integer) label path: identical numerics to the one-hot path
 through the full train/eval steps."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-CPU host
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +12,7 @@ import numpy as np
 from deeplabv3plus_keras_tpu.config import Config, MiddleOp
 from deeplabv3plus_keras_tpu.models import init_model
 from deeplabv3plus_keras_tpu.parallel import (
+
     build_eval_step,
     build_train_step,
     create_train_state,
