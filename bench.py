@@ -33,7 +33,61 @@ import time
 BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
 
 
-def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3, dtype: str = "float32"):
+def _train_only_throughput(
+    image_size: int, batch_size: int, steps: int, repeats: int, dtype: str,
+    base_model: str = "mobilenetv2",
+):
+    """Train-step-only img/s for an add-on configuration (bf16 / Xception),
+    same scan + full-tree-block methodology as the main measurement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_conf
+    from deeplabv3plus_keras_tpu.models import init_model
+    from deeplabv3plus_keras_tpu.parallel import build_train_step, create_train_state
+
+    conf = _flagship_conf(image_size=image_size, batch_size=batch_size)
+    conf.base_model = base_model
+    conf.hps.dtype = dtype
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    state, tx = create_train_state(conf, variables)
+    train_step = build_train_step(model, tx, conf)
+
+    B = batch_size
+    rng = jax.random.PRNGKey(1)
+    np_rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            np_rng.uniform(-1, 1, (B, image_size, image_size, 3)), jnp.float32
+        ),
+        "label": jax.nn.one_hot(
+            jnp.asarray(np_rng.integers(0, 21, (B, image_size, image_size))), 21
+        ),
+        "valid": jnp.ones((B,), jnp.int32),
+    }
+
+    @jax.jit
+    def multi_train(state, batch, rng):
+        def body(s, _):
+            s, m = train_step(s, batch, rng)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, None, length=steps)
+
+    out = multi_train(state, batch, rng)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = multi_train(state, batch, rng)
+        jax.block_until_ready(out)
+        float(jax.tree.leaves(out)[-1].reshape(-1)[-1])
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return B / best, best * 1e3
+
+
+def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3, dtype: str = "float32", addons: bool = True):
     import jax
 
     # persistent compile cache: repeat bench invocations skip the ~3 min
@@ -127,6 +181,22 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
     label_time = timed(multi_label, state, batch["image"])
 
     combined = B / (train_time + infer_time)
+    extra = {}
+    if addons:
+        # the two other headline points from PERFORMANCE.md, captured in the
+        # driver's BENCH JSON each round (VERDICT r1 weak #4)
+        bf16_ips, bf16_ms = _train_only_throughput(
+            image_size, batch_size, steps, repeats, "bfloat16"
+        )
+        xcp_ips, xcp_ms = _train_only_throughput(
+            image_size, batch_size, steps, repeats, "float32", base_model="xception"
+        )
+        extra = {
+            "bf16_train_images_per_sec": round(bf16_ips, 3),
+            "bf16_train_step_ms": round(bf16_ms, 3),
+            "xception_fp32_train_images_per_sec": round(xcp_ips, 3),
+            "xception_fp32_train_step_ms": round(xcp_ms, 3),
+        }
     return {
         "metric": "512x512 images/sec/chip (infer + train step), MobileNetV2+refinement",
         "value": round(combined, 3),
@@ -142,6 +212,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "image_size": image_size,
             "dtype": dtype,
             "device": str(jax.devices()[0]),
+            **extra,
         },
     }
 

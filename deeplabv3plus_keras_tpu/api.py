@@ -156,6 +156,10 @@ class SemanticSegmentation:
             max_queue_size=self.conf.max_queue_size,
             shuffle=shuffle,
             with_labels=with_labels,
+            # oversized inputs resize straight to the network geometry
+            # (reference resize-anything semantics, :200-280)
+            oversize_target=self.nn_arch.image_size,
+            label_clamp=self.nn_arch.num_classes,
         )
 
     def _batches(self, loader, with_labels: bool = True):
@@ -378,15 +382,18 @@ class SemanticSegmentation:
         return written
 
 
-def _save_result_panel(image, label_onehot, probs, num_classes, path):
+def _save_result_panel(image, label, probs, num_classes, path):
     """4-panel composite: input | label map | prediction map | overlay
     (reference :1090-1106: class map ×255/21 grayscale tiled to 3 channels,
-    50/50 overlay with the denormalized input)."""
+    50/50 overlay with the denormalized input).
+
+    ``label``: one-hot (S, S, C) or integer (S, S) (sparse_labels path)."""
     from PIL import Image
 
     img = ((image + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
     scale = 255.0 / num_classes
-    lab = (label_onehot.argmax(-1) * scale).astype(np.uint8)
+    label_idx = label if label.ndim == 2 else label.argmax(-1)
+    lab = (label_idx * scale).astype(np.uint8)
     pred = (probs.argmax(-1) * scale).astype(np.uint8)
     lab3 = np.stack([lab] * 3, axis=-1)
     pred3 = np.stack([pred] * 3, axis=-1)

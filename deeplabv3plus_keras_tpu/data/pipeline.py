@@ -46,8 +46,11 @@ class HostLoader:
     Yields dicts: image_canvas (B,CH,CW,3) u8, sizes (B,2) i32,
     label_canvas (B,CH,CW) u8 | None, valid (B,) i32, names [str].
 
-    Oversized images are center-cropped to the canvas (VOC is ≤500px; the
-    canvas defaults to max(512, canvas_size)).
+    Oversized images (long side > canvas) are symmetric-downscaled on host
+    to the network target geometry (``oversize_target``, defaulting to the
+    canvas size) with the reference's resize-anything semantics
+    (semantic_segmentation.py:200-280) — no content is cropped; the device
+    kernel's subsequent resize is then an exact identity.
     """
 
     def __init__(
@@ -60,6 +63,8 @@ class HostLoader:
         shuffle: bool = False,
         seed: int = 1024,
         with_labels: bool = True,
+        oversize_target: int | None = None,
+        label_clamp: int | None = None,
     ):
         self.specs = list(specs)
         self.batch_size = batch_size
@@ -69,6 +74,8 @@ class HostLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.with_labels = with_labels
+        self.oversize_target = oversize_target or canvas_size
+        self.label_clamp = label_clamp
         self.epoch = 0
 
     def __len__(self):
@@ -98,9 +105,11 @@ class HostLoader:
             img, lab = load_sample(spec)
             h, w = img.shape[:2]
             if h > CH or w > CH:
-                t, l = max(0, (h - CH) // 2), max(0, (w - CH) // 2)
-                img = img[t : t + CH, l : l + CH]
-                lab = None if lab is None else lab[t : t + CH, l : l + CH]
+                from ..ops.preprocess import host_symmetric_downscale
+
+                img, lab = host_symmetric_downscale(
+                    img, lab, self.oversize_target, self.label_clamp
+                )
                 h, w = img.shape[:2]
             img_canvas[i, :h, :w] = img
             if lab_canvas is not None and lab is not None:

@@ -164,6 +164,49 @@ def prepare_batch(
 # ``prepro_device == DEVICE_CPU`` fallback, mirroring the reference CPU path.
 # ---------------------------------------------------------------------------
 
+def host_symmetric_downscale(image, label, size: int, num_classes: int | None = None):
+    """Host-side symmetric resize of an oversized image to its final
+    (h_p, w_p) geometry for network size ``size`` — the reference's
+    resize-anything semantics (semantic_segmentation.py:200-280) for inputs
+    larger than the host canvas (e.g. Open Images photos >1024px).
+
+    The long side lands exactly on ``size``, so the on-device kernel's
+    subsequent corner-anchored resize has scale 1.0 and becomes an exact
+    identity gather: the composed pipeline equals a single reference-style
+    resize of the original.  The only divergence from a one-shot float path
+    is the uint8 rounding of the pasted canvas (≤0.5/127.5 ≈ 4e-3 after
+    normalization).  Labels are clamped before the resize (reference :1734)
+    and rounded after, exactly as the device kernel does.
+
+    image: (H, W, 3) uint8; label: (H, W) uint8 | None.
+    Returns (image (h_p, w_p, 3) uint8, label (h_p, w_p) uint8 | None).
+    """
+    import numpy as np
+    from scipy import ndimage
+
+    h, w = image.shape[0], image.shape[1]
+    h_p, w_p, *_ = symmetric_geometry(h, w, size)
+
+    def scipy_resize(arr):
+        m = np.eye(4)
+        m[0, 0] = arr.shape[0] / float(h_p)
+        m[1, 1] = arr.shape[1] / float(w_p)
+        return ndimage.affine_transform(
+            arr, m[0:3], order=1, output_shape=(h_p, w_p, arr.shape[2]), mode="nearest"
+        )
+
+    img = scipy_resize(np.asarray(image, np.float64))
+    img = np.rint(img).clip(0, 255).astype(np.uint8)
+    lab_out = None
+    if label is not None:
+        lab = np.asarray(label, np.float64)
+        if num_classes is not None:
+            lab = np.where(lab > num_classes - 1, 0.0, lab)
+        lab = scipy_resize(lab[..., None])[..., 0]
+        lab_out = np.rint(lab).clip(0, 255).astype(np.uint8)
+    return img, lab_out
+
+
 def host_prepare_sample(image, label, size: int, num_classes: int = 21):
     """Exact host-side mirror of the reference per-sample pipeline
     (semantic_segmentation.py:1515-1560): normalize → symmetric resize/pad;

@@ -37,14 +37,24 @@ def save_checkpoint(state, base_dir: str | None = None, *, val_loss: float | Non
     if best_only and val_loss is not None and best is not None and val_loss >= best:
         return False
 
+    import shutil
+
+    # Atomic swap: write the full new checkpoint to 'state.tmp' first, keep
+    # the previous one at 'state.old' until the rename lands — a crash at any
+    # point leaves a restorable checkpoint ('state' or 'state.old').
     ckptr = ocp.StandardCheckpointer()
     tree_path = os.path.join(path, "state")
-    if os.path.exists(tree_path):
-        import shutil
-
-        shutil.rmtree(tree_path)
-    ckptr.save(tree_path, state)
+    tmp_path, old_path = tree_path + ".tmp", tree_path + ".old"
+    for stale in (tmp_path, old_path):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ckptr.save(tmp_path, state)
     ckptr.wait_until_finished()
+    if os.path.exists(tree_path):
+        os.rename(tree_path, old_path)
+    os.rename(tmp_path, tree_path)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
     with open(meta_path, "w") as f:
         json.dump(
             {
@@ -62,6 +72,8 @@ def restore_checkpoint(state_template, base_dir: str | None = None):
 
     path = _ckpt_dir(base_dir)
     tree_path = os.path.join(path, "state")
+    if not os.path.exists(tree_path) and os.path.exists(tree_path + ".old"):
+        tree_path += ".old"  # crash landed between the atomic-swap renames
     if not os.path.exists(tree_path):
         raise FileNotFoundError(f"no checkpoint at {tree_path}")
     ckptr = ocp.StandardCheckpointer()
@@ -69,4 +81,5 @@ def restore_checkpoint(state_template, base_dir: str | None = None):
 
 
 def checkpoint_exists(base_dir: str | None = None) -> bool:
-    return os.path.exists(os.path.join(_ckpt_dir(base_dir), "state"))
+    tree_path = os.path.join(_ckpt_dir(base_dir), "state")
+    return os.path.exists(tree_path) or os.path.exists(tree_path + ".old")

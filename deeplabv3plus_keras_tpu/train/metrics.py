@@ -26,25 +26,37 @@ def empty_confusion_matrix(num_classes: int):
     return jnp.zeros((num_classes, num_classes), jnp.int32)
 
 
+# fp32 matmul sums are integer-exact only below 2²⁴; chunk with 2× margin so
+# any batch size is safe (batch 16 at 1024² = 16.78M pixels exceeds 2²⁴).
+CM_CHUNK_PIXELS = 1 << 23
+
+
 def _cm_matmul(t, p, num_classes: int, sample_valid):
     """cm[i, j] = #pixels with true i, predicted j — computed as
     one_hot(t)ᵀ @ one_hot(p) on the MXU.  A scatter-add formulation costs
     ~19 ms per 8×512² batch on TPU (serialized scatter); the matmul is
-    ~2 GFLOP and exact (fp32 integer sums < 2²⁴; per-batch pixel count
-    must stay below that, which holds for any realistic batch)."""
+    ~2 GFLOP and exact: fp32 sums are integer-exact < 2²⁴, so batches
+    bigger than CM_CHUNK_PIXELS accumulate int32 partial matmuls."""
     t1h = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
     if sample_valid is not None:
         v = sample_valid.astype(jnp.float32).reshape((-1,) + (1,) * (t1h.ndim - 1))
         t1h = t1h * v
     p1h = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
     n = int(np.prod(t.shape))
-    cm = jnp.einsum(
-        "nc,nd->cd",
-        t1h.reshape(n, num_classes),
-        p1h.reshape(n, num_classes),
-        preferred_element_type=jnp.float32,
-    )
-    return cm.astype(jnp.int32)
+    t_flat = t1h.reshape(n, num_classes)
+    p_flat = p1h.reshape(n, num_classes)
+
+    def part(ts, ps):
+        return jnp.einsum("nc,nd->cd", ts, ps, preferred_element_type=jnp.float32)
+
+    if n <= CM_CHUNK_PIXELS:
+        return part(t_flat, p_flat).astype(jnp.int32)
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for s in range(0, n, CM_CHUNK_PIXELS):
+        cm = cm + part(
+            t_flat[s : s + CM_CHUNK_PIXELS], p_flat[s : s + CM_CHUNK_PIXELS]
+        ).astype(jnp.int32)
+    return cm
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))

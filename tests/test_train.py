@@ -142,3 +142,28 @@ def test_reduce_lr_on_plateau():
     assert lr == 0.1
     lr = cb.update(1.0, lr)   # wait=2 → reduce
     assert lr == 0.05
+
+
+def test_confusion_matrix_chunked_matches_unchunked(rng, monkeypatch):
+    """Batches above CM_CHUNK_PIXELS accumulate int32 partial matmuls;
+    forcing a tiny chunk must reproduce the single-matmul CM exactly
+    (regression for the fp32 2^24 integer-exactness bound)."""
+    from deeplabv3plus_keras_tpu.train import metrics
+
+    C = 5
+    t = rng.integers(0, C, (3, 41, 37))
+    p = rng.integers(0, C, (3, 41, 37))
+    valid = np.array([1, 0, 1], np.int32)
+    import jax.numpy as jnp
+
+    whole = np.asarray(metrics._cm_matmul(jnp.asarray(t), jnp.asarray(p), C, jnp.asarray(valid)))
+    monkeypatch.setattr(metrics, "CM_CHUNK_PIXELS", 1000)  # 4551 px → 5 chunks
+    chunked = np.asarray(metrics._cm_matmul(jnp.asarray(t), jnp.asarray(p), C, jnp.asarray(valid)))
+    np.testing.assert_array_equal(whole, chunked)
+    # ground truth via numpy
+    expected = np.zeros((C, C), np.int64)
+    for b in range(3):
+        if not valid[b]:
+            continue
+        np.add.at(expected, (t[b].ravel(), p[b].ravel()), 1)
+    np.testing.assert_array_equal(chunked, expected)
