@@ -60,9 +60,12 @@ def test_sparse_equals_dense_through_steps():
     sl, scm, sel, sp = results["sparse"]
     np.testing.assert_allclose(dl, sl, rtol=1e-6)
     np.testing.assert_array_equal(dcm, scm)
-    np.testing.assert_allclose(del_, sel, rtol=1e-6)
+    # post-step values see fp32 op-ordering noise: the sparse loss backward
+    # is a dense one-hot contraction (scatter-free), mathematically equal to
+    # the dense path's gradient but summed in a different order.
+    np.testing.assert_allclose(del_, sel, rtol=1e-5)
     for a, b in zip(dp, sp):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_evaluate_result_saving_under_sparse_labels(tmp_path):

@@ -167,3 +167,33 @@ def test_confusion_matrix_chunked_matches_unchunked(rng, monkeypatch):
             continue
         np.add.at(expected, (t[b].ravel(), p[b].ravel()), 1)
     np.testing.assert_array_equal(chunked, expected)
+
+
+def test_sparse_loss_gradient_matches_dense(rng):
+    """The sparse loss's scatter-free backward must equal the dense one-hot
+    path's gradient wrt the probabilities (same math, fused one-hot)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeplabv3plus_keras_tpu.train.loss import (
+        class_balanced_loss,
+        class_balanced_loss_sparse,
+    )
+
+    t = rng.integers(0, 21, (2, 9, 9))
+    p = rng.uniform(0.01, 0.99, (2, 9, 9, 21)).astype(np.float32)
+    onehot = np.eye(21, dtype=np.float32)[t]
+    valid = jnp.asarray([1, 0], jnp.int32)
+
+    gd = jax.grad(lambda q: class_balanced_loss(onehot, q, valid=valid))(jnp.asarray(p))
+    gs = jax.grad(
+        lambda q: class_balanced_loss_sparse(jnp.asarray(t), q, valid=valid)
+    )(jnp.asarray(p))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=1e-7)
+    # and the scatter-free backward contains no scatter op
+    jaxpr = str(
+        jax.make_jaxpr(
+            jax.grad(lambda q: class_balanced_loss_sparse(jnp.asarray(t), q))
+        )(jnp.asarray(p))
+    )
+    assert "scatter" not in jaxpr
