@@ -219,7 +219,9 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
 
 if __name__ == "__main__":
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # batch 16 is the measured throughput-optimal point on one v5e chip
+    # (126 vs 117 img/s combined at batch 8; PERFORMANCE.md batch scaling)
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     result = run(image_size=size, batch_size=batch, dtype=dtype)
     print(json.dumps(result))
