@@ -160,6 +160,9 @@ class SemanticSegmentation:
             # (reference resize-anything semantics, :200-280)
             oversize_target=self.nn_arch.image_size,
             label_clamp=self.nn_arch.num_classes,
+            # extra key 'cache_decoded': keep decoded uint8 samples in host
+            # RAM so epochs ≥ 2 skip image decode (~1 MiB/sample at 512²).
+            cache=bool(self.conf.extra.get("cache_decoded", False)),
         )
 
     def _batches(self, loader, with_labels: bool = True):

@@ -51,6 +51,13 @@ class HostLoader:
     canvas size) with the reference's resize-anything semantics
     (semantic_segmentation.py:200-280) — no content is cropped; the device
     kernel's subsequent resize is then an exact identity.
+
+    ``cache=True`` keeps each decoded (and, if oversized, downscaled) uint8
+    sample in host RAM so epochs ≥ 2 skip JPEG/PNG decode entirely — the
+    reference re-decodes every image every epoch (:1515-1603).  Numerics
+    are unchanged (the cache stores the exact ``_load`` output).  Memory:
+    ≤ canvas² × 4 bytes/sample ≈ 1 MiB at 512², ~11 GiB for the full
+    10,582-image VOC-Aug train split.
     """
 
     def __init__(
@@ -65,6 +72,7 @@ class HostLoader:
         with_labels: bool = True,
         oversize_target: int | None = None,
         label_clamp: int | None = None,
+        cache: bool = False,
     ):
         self.specs = list(specs)
         self.batch_size = batch_size
@@ -76,6 +84,8 @@ class HostLoader:
         self.with_labels = with_labels
         self.oversize_target = oversize_target or canvas_size
         self.label_clamp = label_clamp
+        self.cache = cache
+        self._cache: dict[str, tuple] = {}
         self.epoch = 0
 
     def __len__(self):
@@ -94,6 +104,26 @@ class HostLoader:
             rng.shuffle(idx)
         return idx
 
+    def _load(self, spec):
+        """Decode one spec (downscaling oversized inputs); RAM-cached when
+        ``cache`` is on.  Dict writes are atomic under the GIL, so the worst
+        concurrent-worker case is a redundant decode, never a torn entry."""
+        if self.cache:
+            hit = self._cache.get(spec.image_path)
+            if hit is not None:
+                return hit
+        img, lab = load_sample(spec)
+        h, w = img.shape[:2]
+        if h > self.canvas_size or w > self.canvas_size:
+            from ..ops.preprocess import host_symmetric_downscale
+
+            img, lab = host_symmetric_downscale(
+                img, lab, self.oversize_target, self.label_clamp
+            )
+        if self.cache:
+            self._cache[spec.image_path] = (img, lab)
+        return img, lab
+
     def _assemble(self, batch_specs):
         B, CH = self.batch_size, self.canvas_size
         img_canvas = np.zeros((B, CH, CH, 3), np.uint8)
@@ -102,15 +132,8 @@ class HostLoader:
         valid = np.zeros((B,), np.int32)
         names = []
         for i, spec in enumerate(batch_specs):
-            img, lab = load_sample(spec)
+            img, lab = self._load(spec)
             h, w = img.shape[:2]
-            if h > CH or w > CH:
-                from ..ops.preprocess import host_symmetric_downscale
-
-                img, lab = host_symmetric_downscale(
-                    img, lab, self.oversize_target, self.label_clamp
-                )
-                h, w = img.shape[:2]
             img_canvas[i, :h, :w] = img
             if lab_canvas is not None and lab is not None:
                 lab_canvas[i, :h, :w] = lab

@@ -110,6 +110,34 @@ def test_loader_surfaces_decode_errors(voc_root):
         list(loader)
 
 
+def test_loader_cache_identical_and_skips_decode(voc_root, monkeypatch):
+    """cache=True: epoch-2 batches byte-identical to the uncached loader's
+    and no further load_sample calls after the first epoch."""
+    from deeplabv3plus_keras_tpu.data import pipeline as pipe
+
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)
+    calls = {"n": 0}
+    real = pipe.load_sample
+
+    def counting(spec):
+        calls["n"] += 1
+        return real(spec)
+
+    monkeypatch.setattr(pipe, "load_sample", counting)
+    cached = HostLoader(specs, batch_size=2, canvas_size=128, workers=1, cache=True)
+    plain = HostLoader(specs, batch_size=2, canvas_size=128, workers=1)
+    e1 = list(cached)
+    assert calls["n"] == len(specs)
+    e2 = list(cached)  # epoch 2: all hits
+    assert calls["n"] == len(specs)
+    ref = list(plain)
+    for a, b, r in zip(e1, e2, ref):
+        np.testing.assert_array_equal(a["image_canvas"], r["image_canvas"])
+        np.testing.assert_array_equal(b["image_canvas"], r["image_canvas"])
+        np.testing.assert_array_equal(b["label_canvas"], r["label_canvas"])
+        np.testing.assert_array_equal(b["sizes"], r["sizes"])
+
+
 def test_compute_class_weights_tool(voc_root):
     """tools/compute_class_weights.py path: weight computation over the
     synthetic VOC labels (reference cal_ss_class_imbalance_weights)."""

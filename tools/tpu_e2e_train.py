@@ -42,6 +42,9 @@ def main():
         "max_queue_size": 8,
         "workers": 2,
         "metrics_log": os.path.join(workdir, "metrics.jsonl"),
+        # decoded-sample RAM cache (epochs >= 2 skip image decode);
+        # CACHE=0 to disable for A/B comparison.
+        "cache_decoded": os.environ.get("CACHE", "1") == "1",
         "hps": {
             "dtype": "float32",
             "val_ratio": 0.125,
