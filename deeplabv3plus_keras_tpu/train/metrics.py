@@ -97,6 +97,12 @@ class MeanIoU:
     """Host-side streaming accumulator (API analogue of MeanIoUExt).
 
     ``accum_enable=False`` replaces instead of accumulating (:333-334).
+
+    Per-step updates are LAZY: ``update_from_cm`` only stores the device
+    array handle (no host-device sync), so the training loop never blocks
+    on a step's outputs and async dispatch stays pipelined; the int64 host
+    accumulation (int32 would overflow past ~2.1G pixels/class-pair within
+    a VOC-Aug epoch) happens once at ``result()``.
     """
 
     def __init__(self, num_classes: int, accum_enable: bool = True):
@@ -107,26 +113,33 @@ class MeanIoU:
     def reset(self):
         import numpy as np
 
-        self.total_cm = np.zeros((self.num_classes, self.num_classes), np.int64)
+        self._total_cm = np.zeros((self.num_classes, self.num_classes), np.int64)
+        self._pending: list = []
 
     def update_state(self, y_true, y_pred):
-        import numpy as np
-
-        cm = np.asarray(confusion_matrix_update(y_true, y_pred, self.num_classes))
-        if self.accum_enable:
-            self.total_cm += cm
-        else:
-            self.total_cm = cm.astype(self.total_cm.dtype)
-        return self
+        return self.update_from_cm(
+            confusion_matrix_update(y_true, y_pred, self.num_classes)
+        )
 
     def update_from_cm(self, cm):
+        if self.accum_enable:
+            self._pending.append(cm)
+        else:
+            self._pending = [cm]
+            self._total_cm[:] = 0
+        return self
+
+    def _flush(self):
         import numpy as np
 
-        if self.accum_enable:
-            self.total_cm += np.asarray(cm, dtype=self.total_cm.dtype)
-        else:
-            self.total_cm = np.asarray(cm, dtype=self.total_cm.dtype)
-        return self
+        for cm in self._pending:
+            self._total_cm += np.asarray(cm, dtype=np.int64)
+        self._pending = []
+
+    @property
+    def total_cm(self):
+        self._flush()
+        return self._total_cm
 
     def result(self) -> float:
         import numpy as np
