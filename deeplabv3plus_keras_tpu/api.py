@@ -163,6 +163,10 @@ class SemanticSegmentation:
             # extra key 'cache_decoded': keep decoded uint8 samples in host
             # RAM so epochs ≥ 2 skip image decode (~1 MiB/sample at 512²).
             cache=bool(self.conf.extra.get("cache_decoded", False)),
+            # extra key 'loader_backend': auto|native|pil — native is the
+            # C++ batch decoder (bit-identical to PIL), auto uses it when
+            # buildable.
+            backend=str(self.conf.extra.get("loader_backend", "auto")),
         )
 
     def _batches(self, loader, with_labels: bool = True):

@@ -58,6 +58,12 @@ class HostLoader:
     are unchanged (the cache stores the exact ``_load`` output).  Memory:
     ≤ canvas² × 4 bytes/sample ≈ 1 MiB at 512², ~11 GiB for the full
     10,582-image VOC-Aug train split.
+
+    ``backend``: "auto" (default) decodes batches through the native C++
+    fastloader when it is buildable (one GIL-free C call per batch with an
+    internal thread pool; bit-identical to PIL — see native/fastloader.cpp),
+    falling back to PIL per item for oversized/unusual inputs; "pil" forces
+    the pure-Python path; "native" requires the C++ loader.
     """
 
     def __init__(
@@ -73,6 +79,7 @@ class HostLoader:
         oversize_target: int | None = None,
         label_clamp: int | None = None,
         cache: bool = False,
+        backend: str = "auto",
     ):
         self.specs = list(specs)
         self.batch_size = batch_size
@@ -86,7 +93,25 @@ class HostLoader:
         self.label_clamp = label_clamp
         self.cache = cache
         self._cache: dict[str, tuple] = {}
+        if backend not in ("auto", "native", "pil"):
+            raise ValueError(f"unknown loader backend {backend!r}")
+        if backend == "native":
+            from .. import native
+
+            if not native.native_available():
+                raise RuntimeError(
+                    "loader backend 'native' requested but the fastloader "
+                    "library cannot be built (needs g++ + libjpeg/libpng)"
+                )
+        self.backend = backend
         self.epoch = 0
+
+    def _use_native(self) -> bool:
+        if self.backend == "pil":
+            return False
+        from .. import native
+
+        return native.native_available()
 
     def __len__(self):
         """Number of batches incl. the padded tail (reference ceil-steps
@@ -124,6 +149,49 @@ class HostLoader:
             self._cache[spec.image_path] = (img, lab)
         return img, lab
 
+    def _decode_native(self, batch_specs):
+        """Decode the batch's cache misses in one GIL-free C call.
+
+        Returns {position: (img, lab)} for the items the native loader
+        handled; anything else (cache hits, oversized, odd formats) is left
+        to the per-item Python path.
+        """
+        from .. import native
+
+        need = [
+            (i, s)
+            for i, s in enumerate(batch_specs)
+            if not (self.cache and s.image_path in self._cache)
+        ]
+        if not need:
+            return {}
+        CH = self.canvas_size
+        scratch_img = np.zeros((len(need), CH, CH, 3), np.uint8)
+        scratch_lab = (
+            np.zeros((len(need), CH, CH), np.uint8) if self.with_labels else None
+        )
+        sizes = np.zeros((len(need), 2), np.int32)
+        status = native.assemble_batch(
+            [s for _, s in need], scratch_img, scratch_lab, sizes
+        )
+        out = {}
+        for j, (i, spec) in enumerate(need):
+            if status[j] != native.FL_OK:
+                continue  # oversized / fallback / error → Python path
+            h, w = sizes[j]
+            img = scratch_img[j, :h, :w]
+            lab = (
+                scratch_lab[j, :h, :w]
+                if self.with_labels and spec.label_path is not None
+                else None
+            )
+            if self.cache:
+                img = img.copy()  # detach from the batch scratch buffer
+                lab = None if lab is None else lab.copy()
+                self._cache[spec.image_path] = (img, lab)
+            out[i] = (img, lab)
+        return out
+
     def _assemble(self, batch_specs):
         B, CH = self.batch_size, self.canvas_size
         img_canvas = np.zeros((B, CH, CH, 3), np.uint8)
@@ -131,8 +199,9 @@ class HostLoader:
         sizes = np.ones((B, 2), np.int32)
         valid = np.zeros((B,), np.int32)
         names = []
+        decoded = self._decode_native(batch_specs) if self._use_native() else {}
         for i, spec in enumerate(batch_specs):
-            img, lab = self._load(spec)
+            img, lab = decoded[i] if i in decoded else self._load(spec)
             h, w = img.shape[:2]
             img_canvas[i, :h, :w] = img
             if lab_canvas is not None and lab is not None:

@@ -124,8 +124,10 @@ def test_loader_cache_identical_and_skips_decode(voc_root, monkeypatch):
         return real(spec)
 
     monkeypatch.setattr(pipe, "load_sample", counting)
-    cached = HostLoader(specs, batch_size=2, canvas_size=128, workers=1, cache=True)
-    plain = HostLoader(specs, batch_size=2, canvas_size=128, workers=1)
+    cached = HostLoader(
+        specs, batch_size=2, canvas_size=128, workers=1, cache=True, backend="pil"
+    )
+    plain = HostLoader(specs, batch_size=2, canvas_size=128, workers=1, backend="pil")
     e1 = list(cached)
     assert calls["n"] == len(specs)
     e2 = list(cached)  # epoch 2: all hits

@@ -1,0 +1,104 @@
+"""Native C++ fastloader: byte-parity with the PIL path, fallback behavior,
+cache interplay.  Skipped entirely where the library cannot be built."""
+
+import numpy as np
+import pytest
+
+from deeplabv3plus_keras_tpu import native
+from deeplabv3plus_keras_tpu.data import (
+    HostLoader,
+    MODE_TEST,
+    MODE_TRAIN,
+    make_synthetic_voc,
+    pascal_voc_2012,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="fastloader not buildable"
+)
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    return make_synthetic_voc(
+        str(tmp_path_factory.mktemp("voc")), n_train=7, n_val=2, n_test=3,
+        min_size=90, max_size=180,
+    )
+
+
+def _batches(specs, **kw):
+    return list(HostLoader(specs, batch_size=3, canvas_size=192, workers=1, **kw))
+
+
+def assert_batches_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image_canvas"], y["image_canvas"])
+        if x["label_canvas"] is not None:
+            np.testing.assert_array_equal(x["label_canvas"], y["label_canvas"])
+        np.testing.assert_array_equal(x["sizes"], y["sizes"])
+        np.testing.assert_array_equal(x["valid"], y["valid"])
+        assert x["names"] == y["names"]
+
+
+def test_native_matches_pil_train(voc_root):
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)
+    assert_batches_equal(
+        _batches(specs, backend="native"), _batches(specs, backend="pil")
+    )
+
+
+def test_native_matches_pil_unlabeled(voc_root):
+    specs = pascal_voc_2012(voc_root, MODE_TEST)
+    assert_batches_equal(
+        _batches(specs, backend="native", with_labels=False),
+        _batches(specs, backend="pil", with_labels=False),
+    )
+
+
+def test_native_oversized_falls_back(voc_root, tmp_path):
+    """Images larger than the canvas take the Python downscale path and
+    still match the PIL loader exactly."""
+    big_root = make_synthetic_voc(
+        str(tmp_path / "big"), n_train=3, n_val=0, n_test=0,
+        min_size=300, max_size=420,
+    )
+    specs = pascal_voc_2012(big_root, MODE_TRAIN)
+    kw = dict(oversize_target=128, label_clamp=21)
+    a = list(HostLoader(specs, 2, canvas_size=256, workers=1, backend="native", **kw))
+    b = list(HostLoader(specs, 2, canvas_size=256, workers=1, backend="pil", **kw))
+    assert_batches_equal(a, b)
+
+
+def test_native_with_cache(voc_root):
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)
+    loader = HostLoader(
+        specs, batch_size=3, canvas_size=192, workers=1,
+        backend="native", cache=True,
+    )
+    e1, e2 = list(loader), list(loader)
+    ref = _batches(specs, backend="pil")
+    assert_batches_equal(e1, ref)
+    assert_batches_equal(e2, ref)
+
+
+def test_native_decode_error_surfaces(voc_root):
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)[:1] + [
+        SampleSpec(name="missing", image_path="/nonexistent/x.jpg", label_path=None)
+    ]
+    loader = HostLoader(specs, batch_size=2, canvas_size=192, backend="native")
+    with pytest.raises(Exception):
+        list(loader)
+
+
+def test_openimages_remap_native(tmp_path):
+    from deeplabv3plus_keras_tpu.data.openimages import google_open_images_v5
+    from deeplabv3plus_keras_tpu.data.synthetic import make_synthetic_openimages
+
+    root = make_synthetic_openimages(str(tmp_path / "oi"), n_train=4, n_val=1)
+    specs = google_open_images_v5(root, MODE_TRAIN)
+    a = list(HostLoader(specs, 2, canvas_size=192, workers=1, backend="native"))
+    b = list(HostLoader(specs, 2, canvas_size=192, workers=1, backend="pil"))
+    assert_batches_equal(a, b)
