@@ -198,7 +198,16 @@ class SemanticSegmentation:
         enabled its TensorBoard callback, :987-990/:1007):
         ``profile_logdir`` → jax.profiler trace of epoch 1;
         ``metrics_log`` → per-epoch JSONL metrics.
+
+        Preemption safety (the reference's only resilience was manual
+        best-checkpoint resume): SIGTERM — the TPU-pod preemption signal —
+        finishes the in-flight step, force-saves a restorable checkpoint
+        (params + opt state + step; best-val metadata preserved), and
+        returns cleanly, so ``model_loading: true`` resumes exactly.
+        Disable with extra key ``preemption_save: false``.
         """
+        import signal
+
         from .utils import MetricsLogger, StepTimer, profiler_trace
 
         tr_loader = self._loader(voc.MODE_TRAIN, shuffle=True)
@@ -211,7 +220,19 @@ class SemanticSegmentation:
 
         step_rng, self.rng = jax.random.split(self.rng)
         history = {"loss": [], "miou": [], "val_loss": [], "val_miou": []}
-        for epoch in range(self.hps.epochs):
+
+        preempted = {"sig": None}
+        prev_handler = None
+        if self.conf.extra.get("preemption_save", True):
+            try:
+                prev_handler = signal.signal(
+                    signal.SIGTERM, lambda s, f: preempted.update(sig=s)
+                )
+            except ValueError:  # not the main thread: no handler, no save
+                prev_handler = None
+
+        try:
+          for epoch in range(self.hps.epochs):
             t0 = time.time()
             losses = []
             miou = MeanIoU(self.nn_arch.num_classes)
@@ -225,6 +246,15 @@ class SemanticSegmentation:
                         )
                     losses.append(metrics["loss"])
                     miou.update_from_cm(metrics["cm"])
+                    if preempted["sig"] is not None:
+                        break
+            if preempted["sig"] is not None:
+                save_checkpoint(self.state, self.work_dir, best_only=False)
+                logger.log(
+                    {"preempted": True, "epoch": epoch + 1, "step": int(self.state.step)}
+                )
+                print("SIGTERM received: checkpoint saved, training stopped")
+                break
             train_loss = float(np.mean([float(l) for l in losses]))
 
             val_losses = []
@@ -268,6 +298,9 @@ class SemanticSegmentation:
                 f"lr {new_lr:.2e} {'[ckpt]' if saved else ''} "
                 f"({time.time() - t0:.1f}s)"
             )
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return history
 
     def evaluate(self, mode: int = voc.MODE_VAL, result_saving: bool = False):

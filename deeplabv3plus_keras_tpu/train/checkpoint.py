@@ -55,10 +55,12 @@ def save_checkpoint(state, base_dir: str | None = None, *, val_loss: float | Non
     os.rename(tmp_path, tree_path)
     if os.path.exists(old_path):
         shutil.rmtree(old_path)
+    # A val_loss-less save (e.g. preemption) keeps the stored best so that
+    # best-only retention continues correctly after resume.
     with open(meta_path, "w") as f:
         json.dump(
             {
-                "best_val_loss": float(val_loss) if val_loss is not None else None,
+                "best_val_loss": float(val_loss) if val_loss is not None else best,
                 "step": int(state.step),
             },
             f,
