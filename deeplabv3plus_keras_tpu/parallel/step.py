@@ -87,25 +87,30 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
     wd = conf.hps.weight_decay
     num_classes = conf.nn_arch.num_classes
     pw, nw = class_weights or default_class_weights(num_classes)
+    accum = max(1, int(conf.extra.get("grad_accum", 1)))
 
-    def train_step(state: TrainState, batch, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
+    def grads_one(params, batch_stats, batch, drop_rng):
+        """loss+l2 value, grads, new batch_stats and cm for one (micro)batch."""
 
-        def loss_fn(params):
+        def loss_fn(p):
             probs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": batch_stats},
                 batch["image"],
                 train=True,
-                rngs={"dropout": step_rng},
+                rngs={"dropout": drop_rng},
                 mutable=["batch_stats"],
             )
             loss = _loss_for(batch["label"], probs, pw, nw, batch["valid"])
-            loss = loss + l2_penalty(params, wd)
+            loss = loss + l2_penalty(p, wd)
             return loss, (probs, mutated["batch_stats"])
 
         (loss, (probs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+            params
         )
+        cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
+        return loss, grads, new_bs, cm
+
+    def apply_update(state, loss, grads, new_bs, cm):
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -114,10 +119,55 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
             batch_stats=new_bs,
             opt_state=new_opt_state,
         )
-        cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
         return new_state, {"loss": loss, "cm": cm}
 
-    return train_step
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        return apply_update(
+            state, *grads_one(state.params, state.batch_stats, batch, step_rng)
+        )
+
+    if accum == 1:
+        return train_step
+
+    def train_step_accum(state: TrainState, batch, rng):
+        """Gradient accumulation (extra key 'grad_accum': N): the batch is
+        split into N sequential microbatches via lax.scan; gradients and
+        loss are averaged, confusion matrices summed, BN running stats
+        threaded through the scan (standard accumulation semantics: BN
+        sees microbatch statistics), then ONE optimizer update is applied.
+        Lets memory-limited chips train the reference's effective batch.
+        """
+        step_rng = jax.random.fold_in(rng, state.step)
+        B = batch["image"].shape[0]
+        if B % accum:
+            raise ValueError(f"grad_accum {accum} must divide batch size {B}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum, B // accum) + x.shape[1:]), batch
+        )
+
+        def body(carry, xs):
+            bs, gsum, lsum, cmsum = carry
+            mbatch, idx = xs
+            loss, grads, new_bs, cm = grads_one(
+                state.params, bs, mbatch, jax.random.fold_in(step_rng, idx)
+            )
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (new_bs, gsum, lsum + loss, cmsum + cm), None
+
+        init = (
+            state.batch_stats,
+            jax.tree.map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((num_classes, num_classes), jnp.int32),
+        )
+        (new_bs, gsum, lsum, cmsum), _ = jax.lax.scan(
+            body, init, (micro, jnp.arange(accum))
+        )
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        return apply_update(state, lsum / accum, grads, new_bs, cmsum)
+
+    return train_step_accum
 
 
 def build_eval_step(model, conf: Config, class_weights=None) -> Callable:
