@@ -1,4 +1,5 @@
 from .mesh import make_mesh, batch_sharding, replicated, DATA_AXIS, SPACE_AXIS
+from .multihost import shard_specs, globalize_batch
 from .step import (
     TrainState,
     create_train_state,
@@ -24,4 +25,6 @@ __all__ = [
     "build_label_step",
     "shard_step",
     "default_class_weights",
+    "shard_specs",
+    "globalize_batch",
 ]
