@@ -325,7 +325,7 @@ def device_batches(
             yield out
         return
 
-    for host_batch in loader:
+    def to_device(host_batch):
         images, labels = prepare_batch(
             host_batch["image_canvas"],
             host_batch["sizes"],
@@ -342,4 +342,16 @@ def device_batches(
         }
         if with_labels:
             out["label"] = labels
-        yield out
+        return out
+
+    # Double-buffered device prefetch: batch N+1's host→device transfer and
+    # preprocessing kernel are dispatched (async) before batch N is yielded,
+    # so they overlap the consumer's step even where the consumer blocks.
+    prev = None
+    for host_batch in loader:
+        cur = to_device(host_batch)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev
