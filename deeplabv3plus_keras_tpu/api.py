@@ -110,14 +110,20 @@ class SemanticSegmentation:
         if self.conf.model_loading and checkpoint_exists(work_dir):
             self.state = restore_checkpoint(self.state, work_dir)
 
+        # extra key 'class_weights_npz': custom loss class-balance weights
+        # (pw/nw arrays from tools/compute_class_weights.py); defaults to the
+        # reference's hard-coded VOC-Aug table at 21 classes.
+        from .parallel.step import resolve_class_weights
+
+        cw = resolve_class_weights(self.conf)
         self._train_step = shard_step(
-            build_train_step(self.model, self.tx, self.conf),
+            build_train_step(self.model, self.tx, self.conf, class_weights=cw),
             self.mesh,
             kind="train",
             spatial=self._spatial,
         )
         self._eval_step = shard_step(
-            build_eval_step(self.model, self.conf),
+            build_eval_step(self.model, self.conf, class_weights=cw),
             self.mesh,
             kind="eval",
             spatial=self._spatial,

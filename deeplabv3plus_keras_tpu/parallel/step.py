@@ -50,6 +50,28 @@ def default_class_weights(num_classes: int):
     return np.ones(num_classes, np.float32), np.zeros(num_classes, np.float32)
 
 
+def resolve_class_weights(conf: Config):
+    """Class-balance weights for this config: the extra key
+    ``class_weights_npz`` (an .npz with ``pw``/``nw`` arrays, e.g. from
+    tools/compute_class_weights.py) overrides the defaults — the offline
+    route the reference used to produce its hard-coded table
+    (cal_ss_class_imbalance_weights, :365-407).  Returns None to mean
+    "use default_class_weights"."""
+    path = conf.extra.get("class_weights_npz")
+    if not path:
+        return None
+    z = np.load(path)
+    pw = np.asarray(z["pw"], np.float32)
+    nw = np.asarray(z["nw"], np.float32)
+    n = conf.nn_arch.num_classes
+    if pw.shape != (n,) or nw.shape != (n,):
+        raise ValueError(
+            f"class_weights_npz arrays must have shape ({n},); "
+            f"got pw {pw.shape}, nw {nw.shape}"
+        )
+    return pw, nw
+
+
 def _loss_for(label, probs, pw, nw, valid):
     """Dispatch on label layout: one-hot (B,H,W,C) — the reference Sequence
     contract (:1746) — or integer (B,H,W), which skips the one-hot tensor

@@ -154,6 +154,33 @@ def test_compute_class_weights_tool(voc_root):
     assert nw.sum() > 0  # frequencies observed
 
 
+def test_resolve_class_weights_npz(tmp_path):
+    from deeplabv3plus_keras_tpu.config import Config
+    from deeplabv3plus_keras_tpu.parallel.step import (
+        default_class_weights,
+        resolve_class_weights,
+    )
+
+    conf = Config()
+    conf.nn_arch.num_classes = 7
+    assert resolve_class_weights(conf) is None
+    d = default_class_weights(7)
+    assert (d[0] == 1).all() and (d[1] == 0).all()  # non-VOC fallback
+
+    pw = np.linspace(0.1, 0.7, 7).astype(np.float32)
+    nw = (1 - pw).astype(np.float32)
+    path = str(tmp_path / "w.npz")
+    np.savez(path, pw=pw, nw=nw)
+    conf.extra["class_weights_npz"] = path
+    got = resolve_class_weights(conf)
+    np.testing.assert_array_equal(got[0], pw)
+    np.testing.assert_array_equal(got[1], nw)
+
+    conf.nn_arch.num_classes = 21  # shape mismatch must raise
+    with pytest.raises(ValueError, match="class_weights_npz"):
+        resolve_class_weights(conf)
+
+
 def test_config_roundtrip_preserves_extra_keys():
     from deeplabv3plus_keras_tpu.config import Config
 
