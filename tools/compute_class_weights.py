@@ -7,9 +7,10 @@ the hard-coded ``ss_pw``/``ss_nw`` weights: per-class pixel frequencies
 over the VOC-Aug combined list → pw = 1 − freq, nw = freq.
 
 Usage:
-    python tools/compute_class_weights.py <resource_path> [num_classes]
+    python tools/compute_class_weights.py <resource_path> [num_classes] [out.npz]
 
-Prints pw/nw as JSON (paste-able into a config or loss call).
+Prints pw/nw as JSON; with an out.npz argument also writes the arrays in
+the format the ``class_weights_npz`` config key loads.
 """
 
 import json
@@ -34,6 +35,10 @@ def main():
     paths = [os.path.join(lab_dir, n + ".png") for n in names]
     pw, nw = compute_class_balance_weights(paths, num_classes)
     print(json.dumps({"pos_weights": pw.tolist(), "neg_weights": nw.tolist()}))
+    if len(sys.argv) > 3:
+        import numpy as np
+
+        np.savez(sys.argv[3], pw=pw, nw=nw)
 
 
 if __name__ == "__main__":
