@@ -123,10 +123,15 @@ int32_t decode_png_label(const char* path, uint8_t* canvas, int canvas_h,
 
   const int w = png_get_image_width(png, info);
   const int h = png_get_image_height(png, info);
-  const int color = png_get_color_type(png, info);
   const int depth = png_get_bit_depth(png, info);
   *out_h = h;
   *out_w = w;
+  if (png_get_interlace_type(png, info) != PNG_INTERLACE_NONE) {
+    // png_read_row cannot stream Adam7 rows; rare for labels — PIL path.
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return FL_FALLBACK;
+  }
   if (h > canvas_h || w > canvas_w) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);

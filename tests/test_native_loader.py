@@ -93,6 +93,27 @@ def test_native_decode_error_surfaces(voc_root):
         list(loader)
 
 
+def test_interlaced_png_label_falls_back(tmp_path):
+    """Adam7-interlaced label PNGs can't stream through png_read_row; the
+    native loader must fall back per item and still match PIL exactly."""
+    from PIL import Image
+
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (60, 80, 3)).astype(np.uint8)
+    Image.fromarray(img).save(str(tmp_path / "a.jpg"))
+    lab = rng.integers(0, 21, (60, 80)).astype(np.uint8)
+    Image.fromarray(lab, mode="P").save(str(tmp_path / "a.png"), interlace=1)
+    spec = SampleSpec(
+        name="a", image_path=str(tmp_path / "a.jpg"),
+        label_path=str(tmp_path / "a.png"),
+    )
+    a = list(HostLoader([spec], 1, canvas_size=128, workers=1, backend="native"))
+    b = list(HostLoader([spec], 1, canvas_size=128, workers=1, backend="pil"))
+    assert_batches_equal(a, b)
+
+
 def test_openimages_remap_native(tmp_path):
     from deeplabv3plus_keras_tpu.data.openimages import google_open_images_v5
     from deeplabv3plus_keras_tpu.data.synthetic import make_synthetic_openimages
