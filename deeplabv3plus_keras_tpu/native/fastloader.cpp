@@ -139,8 +139,13 @@ int32_t decode_png_label(const char* path, uint8_t* canvas, int canvas_h,
   }
 
   // Normalize to 1..4 bytes/pixel at 8 bits/channel, keeping palette
-  // indices unexpanded.
-  if (depth == 16) png_set_strip_16(png);
+  // indices unexpanded.  16-bit labels go to the PIL path: numpy's cast
+  // takes the LOW byte while png_set_strip_16 would take the high one.
+  if (depth == 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return FL_FALLBACK;
+  }
   if (depth < 8) png_set_packing(png);  // 1/2/4-bit -> 1 byte/pixel
   png_read_update_info(png, info);
   const int channels = png_get_channels(png, info);

@@ -114,6 +114,57 @@ def test_interlaced_png_label_falls_back(tmp_path):
     assert_batches_equal(a, b)
 
 
+@pytest.mark.parametrize(
+    "variant", ["gray_jpeg", "gray8", "rgb", "rgba", "p4", "g16"]
+)
+def test_format_matrix_native_matches_pil(tmp_path, variant):
+    """Image/label format matrix: every variant must be byte-identical to
+    the PIL path, whether decoded natively or via per-item fallback
+    (grayscale JPEG, gray/RGB/RGBA/4-bit-palette label PNGs, and 16-bit
+    gray labels where MSB≠LSB so strip-vs-cast semantics would differ)."""
+    from PIL import Image
+
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (50, 70, 3)).astype(np.uint8)
+    lab8 = rng.integers(0, 21, (50, 70)).astype(np.uint8)
+    ip = str(tmp_path / "img.jpg")
+    lp = str(tmp_path / "lab.png")
+    Image.fromarray(img).save(ip)
+    if variant == "gray_jpeg":
+        Image.fromarray(img[..., 0]).save(ip)
+        lp = None
+    elif variant == "gray8":
+        Image.fromarray(lab8).save(lp)
+    elif variant == "rgb":
+        Image.fromarray(np.stack([lab8] * 3, -1)).save(lp)
+    elif variant == "rgba":
+        a = np.full((50, 70), 255, np.uint8)
+        Image.fromarray(np.dstack([np.stack([lab8] * 3, -1), a])).save(lp)
+    elif variant == "p4":
+        Image.fromarray((lab8 % 16), mode="P").save(lp, bits=4)
+    elif variant == "g16":
+        # high byte differs from low byte -> catches MSB-vs-LSB divergence
+        lab16 = (lab8.astype(np.uint16) << 8) | rng.integers(
+            0, 256, (50, 70)
+        ).astype(np.uint16)
+        im16 = Image.new("I;16", (70, 50))
+        im16.frombytes(lab16.astype("<u2").tobytes())
+        im16.save(lp)
+    spec = SampleSpec(name="x", image_path=ip, label_path=lp)
+    wl = lp is not None
+    a = list(
+        HostLoader([spec], 1, canvas_size=128, workers=1,
+                   backend="native", with_labels=wl)
+    )
+    b = list(
+        HostLoader([spec], 1, canvas_size=128, workers=1,
+                   backend="pil", with_labels=wl)
+    )
+    assert_batches_equal(a, b)
+
+
 def test_openimages_remap_native(tmp_path):
     from deeplabv3plus_keras_tpu.data.openimages import google_open_images_v5
     from deeplabv3plus_keras_tpu.data.synthetic import make_synthetic_openimages
