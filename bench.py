@@ -176,6 +176,19 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             best = min(best, (time.perf_counter() - t0) / steps)
         return best
 
+    def tunnel_probe_ms():
+        """Host→device put of one batch's bytes: ~8 ms when the shared
+        remote-PJRT tunnel is quiet, 20-35× under congestion.  Recorded in
+        the detail so each round's snapshot is interpretable."""
+        x = np.zeros((B, image_size, image_size, 3), np.uint8)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(x))
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1e3, 1)
+
+    probe_ms = tunnel_probe_ms()
     train_time = timed(multi_train, state, batch, rng)
     infer_time = timed(multi_infer, state, batch["image"])
     label_time = timed(multi_label, state, batch["image"])
@@ -212,6 +225,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "image_size": image_size,
             "dtype": dtype,
             "device": str(jax.devices()[0]),
+            "tunnel_probe_ms": probe_ms,
             **extra,
         },
     }
