@@ -154,6 +154,19 @@ class SemanticSegmentation:
 
     def _loader(self, mode: int, shuffle: bool = False, with_labels: bool = True):
         canvas = max(512, self.nn_arch.image_size)
+        loader = self._host_loader(mode, shuffle, with_labels, canvas)
+        # extra key 'cache_device': keep the whole decoded dataset resident
+        # in HBM (~1 MiB/sample at 512² canvas) — epochs gather batches on
+        # device and move zero image bytes host→device.  Incompatible with
+        # the host-SciPy debug path (prepro_device == -1), which needs host
+        # pixels.
+        from .config import DEVICE_CPU
+
+        if self.conf.extra.get("cache_device") and self.conf.prepro_device != DEVICE_CPU:
+            return pipe.DeviceDataset(loader)
+        return loader
+
+    def _host_loader(self, mode, shuffle, with_labels, canvas):
         return pipe.HostLoader(
             self._specs(mode),
             batch_size=self.hps.batch_size,

@@ -267,6 +267,104 @@ class HostLoader:
             stop.set()
 
 
+class DeviceDataset:
+    """HBM-resident dataset (config key ``cache_device``): every decoded
+    uint8 canvas lives on device; per-epoch batches are gathered on device
+    by a shuffled index vector, so epochs ≥ 2 move ZERO image bytes
+    host→device (only the (B,) indices cross).  HBM cost ≈ canvas² × 4
+    bytes/sample (1 MiB at 512²; ~11 GiB for the full VOC-Aug train split —
+    size accordingly).
+
+    Built by draining the HostLoader once in spec order; per-epoch
+    shuffling then uses the loader's exact order formula
+    (default_rng(seed + epoch) over arange), so batch composition and
+    ordering are identical to the host path with the same seed.
+    """
+
+    def __init__(self, loader: HostLoader):
+        import jax
+
+        self.batch_size = loader.batch_size
+        self.shuffle = loader.shuffle
+        self.seed = loader.seed
+        self.with_labels = loader.with_labels
+        self.epoch = loader.epoch
+
+        orig_shuffle, orig_epoch = loader.shuffle, loader.epoch
+        loader.shuffle = False
+        try:
+            imgs, labs, sizes, names = [], [], [], []
+            for b in loader:
+                v = b["valid"].astype(bool)
+                imgs.append(b["image_canvas"][v])
+                if b["label_canvas"] is not None:
+                    labs.append(b["label_canvas"][v])
+                sizes.append(b["sizes"][v])
+                names += [n for n, ok in zip(b["names"], v) if ok]
+        finally:
+            loader.shuffle, loader.epoch = orig_shuffle, orig_epoch
+
+        self.names = names
+        self.n = len(names)
+        self.data_img = jax.device_put(np.concatenate(imgs))
+        self.data_lab = jax.device_put(np.concatenate(labs)) if labs else None
+        self.data_sizes = jax.device_put(np.concatenate(sizes))
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def steps(self) -> int:
+        return len(self)
+
+    def _order(self):
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        return order
+
+
+def _device_dataset_batches(
+    ds: DeviceDataset,
+    image_size: int,
+    num_classes: int,
+    with_labels: bool,
+    one_hot_labels: bool,
+):
+    import jax.numpy as jnp
+
+    from ..ops.preprocess import prepare_batch_from_cache
+
+    order = ds._order()
+    ds.epoch += 1
+    B = ds.batch_size
+    with_labels = with_labels and ds.data_lab is not None
+    for s in range(0, ds.n, B):
+        sel = order[s : s + B]
+        valid = np.zeros((B,), np.int32)
+        valid[: len(sel)] = 1
+        idx = np.zeros((B,), np.int32)
+        idx[: len(sel)] = sel
+        images, labels = prepare_batch_from_cache(
+            ds.data_img,
+            ds.data_lab if with_labels else None,
+            ds.data_sizes,
+            jnp.asarray(idx),
+            size=image_size,
+            num_classes=num_classes,
+            with_labels=with_labels,
+            one_hot_labels=one_hot_labels,
+        )
+        out = {
+            "image": images,
+            "valid": jnp.asarray(valid),
+            "names": [ds.names[i] for i in sel],
+        }
+        if with_labels:
+            out["label"] = labels
+        yield out
+
+
 def device_batches(
     loader: HostLoader,
     image_size: int,
@@ -288,6 +386,13 @@ def device_batches(
     import jax.numpy as jnp
 
     from ..ops.preprocess import host_prepare_sample, prepare_batch
+
+    if isinstance(loader, DeviceDataset):
+        # HBM-resident path: gather + preprocess entirely on device.
+        yield from _device_dataset_batches(
+            loader, image_size, num_classes, with_labels, one_hot_labels
+        )
+        return
 
     if host_prepro:
         for host_batch in loader:

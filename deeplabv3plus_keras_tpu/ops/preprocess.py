@@ -159,6 +159,43 @@ def prepare_batch(
     return images, labels
 
 
+@functools.partial(
+    jax.jit, static_argnames=("size", "num_classes", "with_labels", "one_hot_labels")
+)
+def prepare_batch_from_cache(
+    data_img,
+    data_lab,
+    data_sizes,
+    idx,
+    *,
+    size: int,
+    num_classes: int = 21,
+    with_labels: bool = True,
+    one_hot_labels: bool = True,
+):
+    """HBM-resident-dataset batch: gather ``idx`` rows from the device
+    arrays (data_img (N, CH, CW, 3) u8, data_lab (N, CH, CW) u8 | None,
+    data_sizes (N, 2) i32) then run the standard preprocessing — epochs
+    against a cached dataset move ZERO image bytes host→device (only the
+    (B,) index vector crosses)."""
+    img = jnp.take(data_img, idx, axis=0)
+    sizes = jnp.take(data_sizes, idx, axis=0)
+    lab = (
+        jnp.take(data_lab, idx, axis=0)
+        if (with_labels and data_lab is not None)
+        else None
+    )
+    return prepare_batch(
+        img,
+        sizes,
+        lab,
+        size=size,
+        num_classes=num_classes,
+        with_labels=with_labels,
+        one_hot_labels=one_hot_labels,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host (NumPy/SciPy) reference path — used for parity tests and as the
 # ``prepro_device == DEVICE_CPU`` fallback, mirroring the reference CPU path.

@@ -20,7 +20,7 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     cache = os.environ.get("CACHE", "1") == "1"
-    backend = os.environ.get("BACKEND", "auto")
+    backend = os.environ.get("BACKEND", "auto")  # also: DEVCACHE=1 → HBM-resident dataset
 
     import jax
     import jax.numpy as jnp
@@ -93,6 +93,10 @@ def main():
         max_queue_size=8, cache=cache, backend=backend,
         oversize_target=size, label_clamp=21,
     )
+    if os.environ.get("DEVCACHE", "0") == "1":
+        from deeplabv3plus_keras_tpu.data.pipeline import DeviceDataset
+
+        loader = DeviceDataset(loader)  # HBM-resident: zero transfer/epoch
     def probe():
         """Tunnel-health probe: host→device put of one batch's bytes.
         ~8 ms when the shared tunnel is quiet; 10× under congestion."""

@@ -45,6 +45,8 @@ def main():
         # decoded-sample RAM cache (epochs >= 2 skip image decode);
         # CACHE=0 to disable for A/B comparison.
         "cache_decoded": os.environ.get("CACHE", "1") == "1",
+        # HBM-resident dataset (zero host->device bytes per epoch)
+        "cache_device": os.environ.get("DEVCACHE", "0") == "1",
         "hps": {
             "dtype": "float32",
             "val_ratio": 0.125,
