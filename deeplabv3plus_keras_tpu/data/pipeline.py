@@ -350,6 +350,7 @@ def _device_dataset_batches(
             ds.data_lab if with_labels else None,
             ds.data_sizes,
             jnp.asarray(idx),
+            jnp.asarray(valid),
             size=image_size,
             num_classes=num_classes,
             with_labels=with_labels,

@@ -167,6 +167,7 @@ def prepare_batch_from_cache(
     data_lab,
     data_sizes,
     idx,
+    valid,
     *,
     size: int,
     num_classes: int = 21,
@@ -177,11 +178,19 @@ def prepare_batch_from_cache(
     arrays (data_img (N, CH, CW, 3) u8, data_lab (N, CH, CW) u8 | None,
     data_sizes (N, 2) i32) then run the standard preprocessing — epochs
     against a cached dataset move ZERO image bytes host→device (only the
-    (B,) index vector crosses)."""
-    img = jnp.take(data_img, idx, axis=0)
-    sizes = jnp.take(data_sizes, idx, axis=0)
+    (B,) index and validity vectors cross).
+
+    Rows where ``valid`` is 0 (the padded epoch tail) are zeroed with
+    sizes (1, 1), EXACTLY like the streaming path's pre-zeroed canvases:
+    tail batches then produce identical BN batch statistics, so training
+    histories are bit-compatible between the two paths."""
+    v = valid.astype(jnp.uint8)
+    img = jnp.take(data_img, idx, axis=0) * v[:, None, None, None]
+    sizes = jnp.where(
+        v[:, None].astype(bool), jnp.take(data_sizes, idx, axis=0), 1
+    )
     lab = (
-        jnp.take(data_lab, idx, axis=0)
+        jnp.take(data_lab, idx, axis=0) * v[:, None, None]
         if (with_labels and data_lab is not None)
         else None
     )

@@ -1,0 +1,44 @@
+"""cache_device through the public API on the multi-device mesh: the
+HBM-resident path must reproduce the streaming path's training history
+exactly (same seeds, same batches, same masking of the padded tail)."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # two full API trainings, compile-heavy
+
+import numpy as np
+
+
+def test_cache_device_history_matches_streaming(tmp_path):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_end_to_end import small_conf_dict
+
+    from deeplabv3plus_keras_tpu import SemanticSegmentation
+    from deeplabv3plus_keras_tpu.data import make_synthetic_voc
+
+    make_synthetic_voc(str(tmp_path / "resource"), n_train=5, n_val=2, n_test=0)
+
+    class WS:  # minimal object with the / operator small_conf_dict expects
+        def __truediv__(self, other):
+            return tmp_path / other
+
+    histories = {}
+    for flag in (False, True):
+        conf = small_conf_dict(WS())
+        conf["cache_device"] = flag
+        work = str(tmp_path / f"run_{flag}")
+        os.makedirs(work, exist_ok=True)
+        ss = SemanticSegmentation(conf, work_dir=work)
+        histories[flag] = ss.train()
+
+    # On CPU the fused gather+preprocess program differs from the
+    # standalone kernel by ~1 ulp per pixel, which batch-2 BN amplifies to
+    # ~6e-4 through a train step; on the real TPU the histories are
+    # bit-identical (PERFORMANCE.md, tools/tpu_e2e_train.py DEVCACHE=1).
+    for key in ("loss", "miou", "val_loss", "val_miou"):
+        np.testing.assert_allclose(
+            histories[True][key], histories[False][key], rtol=5e-3, atol=5e-3,
+            err_msg=key,
+        )
