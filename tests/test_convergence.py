@@ -21,9 +21,14 @@ from deeplabv3plus_keras_tpu.parallel import (
 )
 
 
-def test_overfit_tiny_batch():
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_overfit_tiny_batch(dtype):
+    """fp32 is the parity default; bf16 is the deployment configuration
+    (fp32 params, bf16 compute — flax dtype/param_dtype split) and must
+    converge the same way."""
     c = Config()
     c.base_model = "mobilenetv2"
+    c.hps.dtype = dtype
     c.nn_arch.image_size = 32
     c.nn_arch.boundary_refinement = True
     c.nn_arch.reduction_size = 16
