@@ -93,6 +93,25 @@ def test_native_decode_error_surfaces(voc_root):
         list(loader)
 
 
+def test_native_threaded_stress_ordered_and_exact(tmp_path):
+    """4 Python workers × the C thread pool × the RAM cache over 3 epochs:
+    ordering and bytes must match the single-worker PIL loader (catches
+    races in the GIL-free decode path and the cache)."""
+    root = make_synthetic_voc(
+        str(tmp_path / "voc"), n_train=23, n_val=0, n_test=0,
+        min_size=60, max_size=150,
+    )
+    specs = pascal_voc_2012(root, MODE_TRAIN)
+    stress = HostLoader(
+        specs, batch_size=4, canvas_size=160, workers=4, max_queue_size=6,
+        backend="native", cache=True,
+    )
+    ref = HostLoader(specs, batch_size=4, canvas_size=160, workers=1,
+                     backend="pil")
+    for _ in range(3):
+        assert_batches_equal(list(stress), list(ref))
+
+
 def test_interlaced_png_label_falls_back(tmp_path):
     """Adam7-interlaced label PNGs can't stream through png_read_row; the
     native loader must fall back per item and still match PIL exactly."""
