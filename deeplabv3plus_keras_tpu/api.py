@@ -129,10 +129,16 @@ class SemanticSegmentation:
             spatial=self._spatial,
         )
         self._predict_step = shard_step(
-            build_predict_step(self.model), self.mesh, kind="predict"
+            build_predict_step(self.model),
+            self.mesh,
+            kind="predict",
+            spatial=self._spatial,
         )
         self._label_step = shard_step(
-            build_label_step(self.model), self.mesh, kind="label"
+            build_label_step(self.model),
+            self.mesh,
+            kind="label",
+            spatial=self._spatial,
         )
 
     # ------------------------------------------------------------------
@@ -163,7 +169,9 @@ class SemanticSegmentation:
         from .config import DEVICE_CPU
 
         if self.conf.extra.get("cache_device") and self.conf.prepro_device != DEVICE_CPU:
-            return pipe.DeviceDataset(loader)
+            # multi-chip meshes shard the dataset over the 'data' axis
+            # (local shard_map gathers, no input collectives)
+            return pipe.DeviceDataset(loader, mesh=self.mesh)
         return loader
 
     def _host_loader(self, mode, shuffle, with_labels, canvas):

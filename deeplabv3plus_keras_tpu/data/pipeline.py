@@ -279,9 +279,17 @@ class DeviceDataset:
     shuffling then uses the loader's exact order formula
     (default_rng(seed + epoch) over arange), so batch composition and
     ordering are identical to the host path with the same seed.
+
+    With a multi-device ``mesh`` the dataset is SHARDED over the 'data'
+    axis: each device stores N/D samples and gathers its own batch shard
+    locally under ``shard_map`` — feeding D chips costs zero collectives
+    (a replicated or device-0 dataset would serialize on one chip's HBM).
+    Shuffling is then per-shard (every sample still appears exactly once
+    per epoch; composition differs from the single-stream order, the
+    standard sharded-input-pipeline semantics).
     """
 
-    def __init__(self, loader: HostLoader):
+    def __init__(self, loader: HostLoader, mesh=None):
         import jax
 
         self.batch_size = loader.batch_size
@@ -306,9 +314,43 @@ class DeviceDataset:
 
         self.names = names
         self.n = len(names)
-        self.data_img = jax.device_put(np.concatenate(imgs))
-        self.data_lab = jax.device_put(np.concatenate(labs)) if labs else None
-        self.data_sizes = jax.device_put(np.concatenate(sizes))
+        img_np = np.concatenate(imgs)
+        lab_np = np.concatenate(labs) if labs else None
+        sizes_np = np.concatenate(sizes)
+
+        from ..parallel import mesh as mesh_lib
+
+        self.mesh = mesh
+        self.shards = int(mesh.shape[mesh_lib.DATA_AXIS]) if mesh is not None else 1
+        if self.shards > 1:
+            if self.batch_size % self.shards:
+                raise ValueError(
+                    f"cache_device: batch {self.batch_size} must be divisible "
+                    f"by the data-parallel degree {self.shards}"
+                )
+            # pad to D * steps * (B/D) rows so every shard can supply its
+            # per-step quota; pad rows are zeros and never marked valid.
+            per = self.batch_size // self.shards
+            self.shard_cap = self.steps() * per
+            total = self.shards * self.shard_cap
+
+            def pad(a):
+                out = np.zeros((total,) + a.shape[1:], a.dtype)
+                out[: self.n] = a
+                return out
+
+            import jax.sharding as jsh
+
+            row_sharding = jsh.NamedSharding(mesh, jsh.PartitionSpec(mesh_lib.DATA_AXIS))
+            self.data_img = jax.device_put(pad(img_np), row_sharding)
+            self.data_lab = (
+                jax.device_put(pad(lab_np), row_sharding) if lab_np is not None else None
+            )
+            self.data_sizes = jax.device_put(pad(sizes_np), row_sharding)
+        else:
+            self.data_img = jax.device_put(img_np)
+            self.data_lab = jax.device_put(lab_np) if lab_np is not None else None
+            self.data_sizes = jax.device_put(sizes_np)
 
     def __len__(self):
         return (self.n + self.batch_size - 1) // self.batch_size
@@ -323,6 +365,136 @@ class DeviceDataset:
             rng.shuffle(order)
         return order
 
+    def _shard_draws(self):
+        """Per-epoch draw plan for the sharded layout: for each shard d, a
+        (steps * B/D,) vector of LOCAL row ids plus a validity vector —
+        a per-shard permutation of that shard's real rows, padded invalid.
+
+        Shard d owns global rows [d*cap, (d+1)*cap); real rows are the
+        first min(n - d*cap, cap) of them.
+        """
+        cap, D = self.shard_cap, self.shards
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idx, valid = [], []
+        for d in range(D):
+            count = int(np.clip(self.n - d * cap, 0, cap))
+            perm = rng.permutation(count) if self.shuffle else np.arange(count)
+            draws = np.zeros((cap,), np.int32)
+            draws[:count] = perm
+            ok = np.zeros((cap,), np.int32)
+            ok[:count] = 1
+            idx.append(draws)
+            valid.append(ok)
+        return idx, valid
+
+
+def _sharded_device_batches(
+    ds: DeviceDataset,
+    image_size: int,
+    num_classes: int,
+    with_labels: bool,
+    one_hot_labels: bool,
+):
+    """Batches from the 'data'-axis-sharded dataset: every device gathers
+    its B/D batch rows from its own N/D dataset rows inside shard_map —
+    no collectives in the input path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.preprocess import prepare_batch_from_cache
+    from ..parallel.mesh import DATA_AXIS
+
+    draws, valids = ds._shard_draws()
+    ds.epoch += 1
+    B, D, cap = ds.batch_size, ds.shards, ds.shard_cap
+    per = B // D
+    with_labels = with_labels and ds.data_lab is not None
+    mesh = ds.mesh
+    rows = P(DATA_AXIS)
+    row_sharding = NamedSharding(mesh, rows)
+
+    from ..parallel.mesh import SPACE_AXIS
+
+    kernel = functools.partial(
+        prepare_batch_from_cache,
+        size=image_size,
+        num_classes=num_classes,
+        with_labels=with_labels,
+        one_hot_labels=one_hot_labels,
+    )
+
+    # With a spatial axis the step functions expect P('data','space') on
+    # the batch: each (data, space) device keeps only its H-slice of the
+    # replicated gather result — layout-exact hand-off, zero collectives.
+    S = int(mesh.shape.get(SPACE_AXIS, 1))
+    sliced = S > 1 and image_size % S == 0
+    sl = image_size // S if sliced else image_size
+
+    def h_slice(x):
+        i = jax.lax.axis_index(SPACE_AXIS)
+        return jax.lax.dynamic_slice_in_dim(x, i * sl, sl, axis=1)
+
+    out_row = P(DATA_AXIS, SPACE_AXIS) if sliced else rows
+    if with_labels:
+        def local(img, lab, sizes, idx, valid):
+            im, lb = kernel(img, lab, sizes, idx, valid)
+            return (h_slice(im), h_slice(lb)) if sliced else (im, lb)
+
+        in_specs = (rows,) * 5
+        out_specs = (out_row, out_row)
+        args = (ds.data_img, ds.data_lab, ds.data_sizes)
+    else:
+        def local(img, sizes, idx, valid):
+            im = kernel(img, None, sizes, idx, valid)[0]
+            return h_slice(im) if sliced else im
+
+        in_specs = (rows,) * 4
+        out_specs = out_row
+        args = (ds.data_img, ds.data_sizes)
+    gather = jax.jit(
+        shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+
+    def fix_layout(x):
+        """Non-divisible spatial fallback: explicit reshard to the step's
+        expected P('data','space') layout."""
+        if S > 1 and not sliced:
+            import jax as _jax
+
+            return _jax.device_put(
+                x, NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+            )
+        return x
+
+    steps = ds.steps()
+    for s in range(steps):
+        idx = np.concatenate([draws[d][s * per : (s + 1) * per] for d in range(D)])
+        valid = np.concatenate([valids[d][s * per : (s + 1) * per] for d in range(D)])
+        idx_dev = jax.device_put(idx, row_sharding)
+        valid_dev = jax.device_put(valid, row_sharding)
+        res = gather(*args, idx_dev, valid_dev)
+        images, labels = res if with_labels else (res, None)
+        images = fix_layout(images)
+        labels = fix_layout(labels) if labels is not None else None
+        # positional alignment with batch rows (invalid rows can be
+        # interior here, not just a trailing tail): placeholder names for
+        # invalid positions, which every consumer skips via `valid`.
+        names = [
+            ds.names[d * cap + int(draws[d][s * per + k])]
+            if valids[d][s * per + k]
+            else ""
+            for d in range(D)
+            for k in range(per)
+        ]
+        out = {"image": images, "valid": jnp.asarray(valid), "names": names}
+        if with_labels:
+            out["label"] = labels
+        yield out
+
 
 def _device_dataset_batches(
     ds: DeviceDataset,
@@ -334,6 +506,12 @@ def _device_dataset_batches(
     import jax.numpy as jnp
 
     from ..ops.preprocess import prepare_batch_from_cache
+
+    if ds.shards > 1:
+        yield from _sharded_device_batches(
+            ds, image_size, num_classes, with_labels, one_hot_labels
+        )
+        return
 
     order = ds._order()
     ds.epoch += 1

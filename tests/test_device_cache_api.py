@@ -28,6 +28,10 @@ def test_cache_device_history_matches_streaming(tmp_path):
     for flag in (False, True):
         conf = small_conf_dict(WS())
         conf["cache_device"] = flag
+        # exact-history equality holds for the unsharded dataset; with
+        # num_gpus > 1 the dataset is sharded per device and batch
+        # composition legitimately differs (see the sharded smoke below)
+        conf["num_gpus"] = 1
         work = str(tmp_path / f"run_{flag}")
         os.makedirs(work, exist_ok=True)
         ss = SemanticSegmentation(conf, work_dir=work)
@@ -42,3 +46,14 @@ def test_cache_device_history_matches_streaming(tmp_path):
             histories[True][key], histories[False][key], rtol=5e-3, atol=5e-3,
             err_msg=key,
         )
+
+    # sharded smoke: num_gpus=2 shards the HBM dataset over the 'data'
+    # axis (local shard_map gathers); history must be finite and sane
+    conf = small_conf_dict(WS())
+    conf["cache_device"] = True
+    work = str(tmp_path / "run_sharded")
+    os.makedirs(work, exist_ok=True)
+    ss = SemanticSegmentation(conf, work_dir=work)
+    h = ss.train()
+    assert np.isfinite(h["loss"]).all() and np.isfinite(h["val_loss"]).all()
+    assert 0.0 <= h["val_miou"][0] <= 1.0
