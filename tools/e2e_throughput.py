@@ -21,6 +21,7 @@ def main():
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     cache = os.environ.get("CACHE", "1") == "1"
     backend = os.environ.get("BACKEND", "auto")  # also: DEVCACHE=1 → HBM-resident dataset
+    dtype = os.environ.get("DTYPE", "float32")
 
     import jax
     import jax.numpy as jnp
@@ -66,6 +67,7 @@ def main():
         MiddleOp(op="conv", kernel=3, rate=(6, 21), input=0),
     ]
     conf.hps.batch_size = batch
+    conf.hps.dtype = dtype
 
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
@@ -122,7 +124,7 @@ def main():
     )
     print(
         f"e2e train throughput: {n_images / best:.1f} img/s best-of-6 "
-        f"({n_images} images, batch {batch}, {size}², fp32, incl. input pipeline)"
+        f"({n_images} images, batch {batch}, {size}², {dtype}, incl. input pipeline)"
     )
 
 
