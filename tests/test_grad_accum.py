@@ -113,6 +113,48 @@ def test_grad_accum_matches_manual_loop(rng):
     assert int(new_state.step) == 1
 
 
+def test_grad_accum_on_sharded_mesh(rng):
+    """grad_accum composes with the data-parallel mesh: the scanned
+    microbatches reshape a sharded batch (GSPMD re-lays out each
+    (accum, B/accum) microbatch across 'data'); one step must run and
+    match the single-device accum step."""
+    import numpy as np
+
+    from deeplabv3plus_keras_tpu.parallel import make_mesh, shard_step
+
+    C, S, B, ACC = 5, 32, 8, 2
+    conf = tiny_conf({"grad_accum": ACC})
+    conf.hps.batch_size = B
+    conf.nn_arch.dropout_rate = 0.0  # dropout masks are layout-dependent
+    model = create_model(conf)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, S, S, 3), jnp.float32),
+        train=False,
+    )
+    batch = make_batch(rng, B, S, C)
+    key = jax.random.PRNGKey(7)
+
+    results = {}
+    for n_data in (1, 4):
+        vs = jax.tree.map(jnp.array, variables)  # donation-safe copies
+        state, tx = create_train_state(conf, vs)
+        step = shard_step(
+            build_train_step(model, tx, conf), make_mesh(n_data=n_data),
+            kind="train",
+        )
+        new_state, m = step(state, dict(batch), key)
+        # second step exercises the updated params/opt state on the mesh
+        _, m2 = step(new_state, dict(batch), key)
+        results[n_data] = (float(m["loss"]), np.asarray(m["cm"]), float(m2["loss"]))
+    # loss/CM invariance across meshes (post-update params are NOT compared:
+    # sharded reductions reorder float sums and the single-device accum
+    # equivalence test already pins the update math — same policy as
+    # test_sharding, which bounds the Adam-update diff instead)
+    assert np.isclose(results[1][0], results[4][0], rtol=1e-5)
+    assert np.abs(results[1][1] - results[4][1]).sum() <= 8
+    assert np.isfinite(results[4][2])
+
+
 def test_grad_accum_must_divide_batch(rng):
     conf = tiny_conf({"grad_accum": 3})
     model = create_model(conf)
