@@ -18,7 +18,7 @@ def test_cache_device_history_matches_streaming(tmp_path):
     from deeplabv3plus_keras_tpu import SemanticSegmentation
     from deeplabv3plus_keras_tpu.data import make_synthetic_voc
 
-    make_synthetic_voc(str(tmp_path / "resource"), n_train=5, n_val=2, n_test=0)
+    make_synthetic_voc(str(tmp_path / "resource"), n_train=5, n_val=2, n_test=2)
 
     class WS:  # minimal object with the / operator small_conf_dict expects
         def __truediv__(self, other):
@@ -57,3 +57,12 @@ def test_cache_device_history_matches_streaming(tmp_path):
     h = ss.train()
     assert np.isfinite(h["loss"]).all() and np.isfinite(h["val_loss"]).all()
     assert 0.0 <= h["val_miou"][0] <= 1.0
+
+    # evaluate with panels and test-mode PNGs through the sharded dataset
+    # (positional names with "" placeholders must be skipped correctly)
+    ss.evaluate(mode=1, result_saving=True)
+    results = os.listdir(os.path.join(work, "results"))
+    assert len(results) == 2  # every valid val sample got a panel
+    ss.test()
+    outs = sorted(os.listdir(os.path.join(work, "test_results")))
+    assert len(outs) == 2 and all(o.endswith(".png") for o in outs)
