@@ -169,6 +169,9 @@ class SemanticSegmentation:
         from .config import DEVICE_CPU
 
         if self.conf.extra.get("cache_device") and self.conf.prepro_device != DEVICE_CPU:
+            # the HBM dataset supersedes the host RAM cache — don't hold
+            # the decoded samples twice if both keys are set
+            loader.cache = False
             # multi-chip meshes shard the dataset over the 'data' axis
             # (local shard_map gathers, no input collectives)
             return pipe.DeviceDataset(loader, mesh=self.mesh)
