@@ -122,12 +122,17 @@ class SemanticSegmentation:
             kind="train",
             spatial=self._spatial,
         )
+        # probs-free eval for the hot validation loop; the probs variant is
+        # built lazily for evaluate(result_saving=True) panel rendering
         self._eval_step = shard_step(
-            build_eval_step(self.model, self.conf, class_weights=cw),
+            build_eval_step(self.model, self.conf, class_weights=cw,
+                            with_probs=False),
             self.mesh,
             kind="eval",
             spatial=self._spatial,
         )
+        self._cw = cw
+        self._eval_step_probs = None
         self._predict_step = shard_step(
             build_predict_step(self.model),
             self.mesh,
@@ -345,11 +350,23 @@ class SemanticSegmentation:
                 shutil.rmtree(results_dir)
             os.makedirs(results_dir, exist_ok=True)
 
+        eval_step = self._eval_step
+        if result_saving:
+            if self._eval_step_probs is None:
+                self._eval_step_probs = shard_step(
+                    build_eval_step(self.model, self.conf,
+                                    class_weights=self._cw, with_probs=True),
+                    self.mesh,
+                    kind="eval",
+                    spatial=self._spatial,
+                )
+            eval_step = self._eval_step_probs
+
         c_miou = MeanIoU(self.nn_arch.num_classes)
         sample_idx = 0
         for batch in self._batches(loader):
             names = batch.pop("names")
-            metrics = self._eval_step(self.state, batch)
+            metrics = eval_step(self.state, batch)
             c_miou.update_from_cm(metrics["cm"])
             if result_saving:
                 probs = np.asarray(metrics["probs"])

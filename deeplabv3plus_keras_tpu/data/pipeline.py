@@ -171,8 +171,14 @@ class HostLoader:
             np.zeros((len(need), CH, CH), np.uint8) if self.with_labels else None
         )
         sizes = np.zeros((len(need), 2), np.int32)
+        # two pool layers multiply: `workers` concurrent _assemble calls
+        # each spawn a C pool, so size the inner pool to ncpu/workers
+        import os
+
+        nthreads = max(1, (os.cpu_count() or 1) // self.workers)
         status = native.assemble_batch(
-            [s for _, s in need], scratch_img, scratch_lab, sizes
+            [s for _, s in need], scratch_img, scratch_lab, sizes,
+            nthreads=nthreads,
         )
         out = {}
         for j, (i, spec) in enumerate(need):
@@ -245,14 +251,23 @@ class HostLoader:
                     i, b = todo.get_nowait()
                 except queue.Empty:
                     return
-                inflight.acquire()
+                # stop-aware acquire: a consumer that abandons iteration
+                # (error, preemption, early break) sets `stop` but cannot
+                # release credits, so a plain acquire would park this
+                # thread forever and leak it plus its queued batches.
+                while not inflight.acquire(timeout=0.1):
+                    if stop.is_set():
+                        return
                 try:
                     slots[i].put(self._assemble(b))
                 except Exception as e:  # surface decode errors to consumer
                     slots[i].put(e)
 
         threads = [
-            threading.Thread(target=worker, daemon=True) for _ in range(self.workers)
+            threading.Thread(
+                target=worker, daemon=True, name="hostloader-worker"
+            )
+            for _ in range(self.workers)
         ]
         for t in threads:
             t.start()

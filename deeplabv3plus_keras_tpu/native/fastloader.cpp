@@ -200,6 +200,12 @@ int fl_assemble_batch(const char** img_paths, const char** lab_paths,
       int32_t lst = decode_png_label(
           lab_paths[i], lab_canvas + size_t(i) * lab_stride, canvas_h,
           canvas_w, lab_remap ? lab_remap[i] : -1, &lh, &lw);
+      if (lst == FL_OK && (lh != h || lw != w)) {
+        // label/image dimension mismatch: the Python path raises loudly
+        // on paste; silently cropping with the image's (h, w) would train
+        // on misaligned labels.
+        lst = FL_FALLBACK;
+      }
       if (lst != FL_OK) st = lst;
     }
     sizes[2 * i] = h;

@@ -192,7 +192,13 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
     return train_step_accum
 
 
-def build_eval_step(model, conf: Config, class_weights=None) -> Callable:
+def build_eval_step(
+    model, conf: Config, class_weights=None, with_probs: bool = True
+) -> Callable:
+    """``with_probs=False`` drops the (B, S, S, C) probability tensor from
+    the outputs — out_shardings=repl would otherwise all-gather and
+    replicate ~176 MB per 16×512² batch that the validation loop never
+    reads (probs are only consumed by evaluate(result_saving=True))."""
     wd = conf.hps.weight_decay
     num_classes = conf.nn_arch.num_classes
     pw, nw = class_weights or default_class_weights(num_classes)
@@ -206,7 +212,10 @@ def build_eval_step(model, conf: Config, class_weights=None) -> Callable:
         loss = _loss_for(batch["label"], probs, pw, nw, batch["valid"])
         loss = loss + l2_penalty(state.params, wd)
         cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
-        return {"loss": loss, "cm": cm, "probs": probs}
+        out = {"loss": loss, "cm": cm}
+        if with_probs:
+            out["probs"] = probs
+        return out
 
     return eval_step
 

@@ -96,6 +96,64 @@ def test_openimages_test_mode_has_no_labels(oi_root):
     assert all(s.label_path is None for s in specs)
 
 
+def test_abandoned_iteration_does_not_leak_workers(voc_root):
+    """A consumer that stops mid-epoch (error, preemption, early break)
+    must not leave prefetch workers parked in inflight.acquire forever."""
+    import gc
+    import threading
+    import time
+
+    def worker_count():
+        return sum(
+            1 for t in threading.enumerate() if t.name == "hostloader-worker"
+        )
+
+    base = worker_count()
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN) * 8  # 40 samples
+    loader = HostLoader(
+        specs, batch_size=2, canvas_size=128, workers=3, max_queue_size=2,
+        backend="pil",
+    )
+    it = iter(loader)
+    next(it)  # start the pool, then abandon
+    it.close()
+    del it
+    gc.collect()
+    deadline = time.time() + 5
+    while worker_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert worker_count() == base
+
+
+def test_mismatched_label_size_raises_both_backends(voc_root, tmp_path):
+    """A label PNG whose dimensions differ from its image must fail loudly
+    on BOTH backends (the native loader falls back; silently cropping
+    would train on misaligned labels)."""
+    from PIL import Image
+
+    from deeplabv3plus_keras_tpu import native
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.uniform(0, 255, (100, 80, 3)).astype(np.uint8)
+    ).save(str(tmp_path / "img.jpg"))
+    Image.fromarray(
+        rng.integers(0, 21, (80, 100)).astype(np.uint8)  # transposed dims
+    ).save(str(tmp_path / "lab.png"))
+    spec = SampleSpec(
+        name="bad", image_path=str(tmp_path / "img.jpg"),
+        label_path=str(tmp_path / "lab.png"),
+    )
+    backends = ["pil"] + (["native"] if native.native_available() else [])
+    for backend in backends:
+        loader = HostLoader(
+            [spec], batch_size=1, canvas_size=128, workers=1, backend=backend
+        )
+        with pytest.raises(Exception):
+            list(loader)
+
+
 def test_loader_surfaces_decode_errors(voc_root):
     """A worker hitting an unreadable file must raise in the consumer, not
     hang or silently skip (the reference's enqueuer semantics)."""
