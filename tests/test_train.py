@@ -86,23 +86,42 @@ def test_l2_penalty_selects_tagged_params():
     assert float(l2_penalty(params, 0.0)) == 0.0
 
 
-def test_adam_keras_semantics_first_step():
-    """After one step with grad g: update ≈ −lr·sign-free Adam with bias
-    correction; eps=1e-7, β₁=0.5, β₂=0.99."""
+def test_adam_keras_epsilon_placement():
+    """5 Adam steps must track the exact Keras formula — ε applied to the
+    UNCORRECTED √v, bias correction folded into the step size
+    (θ −= lr·√(1−β₂ᵗ)/(1−β₁ᵗ)·m/(√v+ε), ε=1e-7) — at gradient magnitudes
+    covering the √v≈ε regime where optax.scale_by_adam diverges by ~2×
+    (VERDICT r2: 4.1e-3 absolute at g=1e-6).  fp64 NumPy oracle, tight
+    fp32 tolerance; the TF cross-check lives in test_optimizer_parity.py."""
     import optax
 
     from deeplabv3plus_keras_tpu.config import HParams
 
-    hps = HParams(lr=0.01, beta_1=0.5, beta_2=0.99, decay=0.0)
-    tx = make_optimizer(hps)
-    p = {"w": jnp.array([1.0, 2.0])}
-    g = {"w": jnp.array([0.5, -1.0])}
-    st = tx.init(p)
-    updates, st = tx.update(g, st, p)
-    new_p = optax.apply_updates(p, updates)
-    # Keras Adam step 1: m̂=g, v̂=g², θ −= lr·g/(|g|+ε·√(1−β₂)/… ) ≈ lr·sign(g)
-    expect = np.array([1.0, 2.0]) - 0.01 * np.sign([0.5, -1.0])
-    np.testing.assert_allclose(np.asarray(new_p["w"]), expect, atol=1e-3)
+    lr, b1, b2, eps = 0.01, 0.5, 0.99, 1e-7
+    for g_mag in (0.5, 1e-6, 1e-8):
+        hps = HParams(lr=lr, beta_1=b1, beta_2=b2, decay=0.0)
+        tx = make_optimizer(hps)
+        p = {"w": jnp.array([1.0, 2.0])}
+        g = {"w": jnp.array([g_mag, -g_mag], jnp.float32)}
+        st = tx.init(p)
+        # fp64 oracle of the Keras update rule
+        theta = np.array([1.0, 2.0])
+        grad = np.array([g_mag, -g_mag], np.float64)
+        m = np.zeros(2)
+        v = np.zeros(2)
+        for t in range(1, 6):
+            updates, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, updates)
+            m = b1 * m + (1 - b1) * grad
+            v = b2 * v + (1 - b2) * grad**2
+            alpha = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+            theta = theta - alpha * m / (np.sqrt(v) + eps)
+            np.testing.assert_allclose(
+                np.asarray(p["w"], np.float64),
+                theta,
+                atol=1e-7,
+                err_msg=f"g={g_mag} step={t}",
+            )
 
 
 def test_lr_decay_schedule():
