@@ -86,7 +86,25 @@ class SemanticSegmentation:
         # multi_gpu keys made live; see parallel/mesh.py); the extra key
         # 'mesh_space' splits it into ('data', 'space') for spatial
         # sharding of large images (conv halos inserted by GSPMD).
-        n_devices = min(self.conf.num_devices, len(jax.devices()))
+        n_devices = self.conf.num_devices
+        n_avail = len(jax.devices())
+        if n_devices > n_avail:
+            # A config asking for more chips than exist is a wrong-hardware
+            # assumption: fail loudly (the Keras reference era did) unless
+            # the extra key 'allow_fewer_devices' opts into shrinking.
+            if self.conf.extra.get("allow_fewer_devices", False):
+                print(
+                    f"warning: num_gpus {n_devices} > available devices "
+                    f"{n_avail}; shrinking mesh (allow_fewer_devices)"
+                )
+                n_devices = n_avail
+            else:
+                raise RuntimeError(
+                    f"config requests num_gpus={n_devices} but only "
+                    f"{n_avail} device(s) are attached; set the extra "
+                    f"config key 'allow_fewer_devices': true to train on "
+                    f"the smaller mesh"
+                )
         n_space = max(1, int(self.conf.extra.get("mesh_space", 1)))
         if n_devices % n_space:
             raise ValueError(f"mesh_space {n_space} must divide num devices {n_devices}")
@@ -178,8 +196,17 @@ class SemanticSegmentation:
             # the decoded samples twice if both keys are set
             loader.cache = False
             # multi-chip meshes shard the dataset over the 'data' axis
-            # (local shard_map gathers, no input collectives)
-            return pipe.DeviceDataset(loader, mesh=self.mesh)
+            # (local shard_map gathers, no input collectives).
+            # 'cache_device_max_bytes' caps HBM use per device (default:
+            # half the free HBM when the runtime reports it) — oversized
+            # datasets cache a prefix and stream the rest instead of OOMing
+            max_bytes = self.conf.extra.get("cache_device_max_bytes")
+            return pipe.DeviceDataset(
+                loader,
+                mesh=self.mesh,
+                max_bytes=None if max_bytes is None else int(max_bytes),
+                residual_cache=bool(self.conf.extra.get("cache_decoded", False)),
+            )
         return loader
 
     def _host_loader(self, mode, shuffle, with_labels, canvas):
@@ -241,14 +268,10 @@ class SemanticSegmentation:
         returns cleanly, so ``model_loading: true`` resumes exactly.
         Disable with extra key ``preemption_save: false``.
         """
-        import signal
-
+        from .train.checkpoint import clear_resume_checkpoint
         from .utils import MetricsLogger, StepTimer, profiler_trace
+        from .utils.preemption import Preempted, PreemptionGuard
 
-        tr_loader = self._loader(voc.MODE_TRAIN, shuffle=True)
-        val_loader = self._loader(voc.MODE_VAL)
-        self.hps.tr_step = tr_loader.steps()
-        self.hps.val_step = val_loader.steps()
         plateau = ReduceLROnPlateau(self.hps.reduce_lr_factor, patience=5, min_lr=1e-8)
         logger = MetricsLogger(self.conf.extra.get("metrics_log"))
         profile_logdir = self.conf.extra.get("profile_logdir")
@@ -256,17 +279,24 @@ class SemanticSegmentation:
         step_rng, self.rng = jax.random.split(self.rng)
         history = {"loss": [], "miou": [], "val_loss": [], "val_miou": []}
 
-        preempted = {"sig": None}
-        prev_handler = None
-        if self.conf.extra.get("preemption_save", True):
-            try:
-                prev_handler = signal.signal(
-                    signal.SIGTERM, lambda s, f: preempted.update(sig=s)
-                )
-            except ValueError:  # not the main thread: no handler, no save
-                prev_handler = None
+        def preemption_save(epoch):
+            save_checkpoint(self.state, self.work_dir, best_only=False)
+            logger.log(
+                {"preempted": True, "epoch": epoch + 1, "step": int(self.state.step)}
+            )
+            print("SIGTERM received: checkpoint saved, training stopped")
 
-        try:
+        with PreemptionGuard(self.conf.extra.get("preemption_save", True)) as guard:
+          try:
+            # the DeviceDataset (cache_device) build can take minutes of
+            # decode — it polls the guard and unwinds with Preempted
+            tr_loader = self._loader(voc.MODE_TRAIN, shuffle=True)
+            val_loader = self._loader(voc.MODE_VAL)
+          except Preempted:
+            preemption_save(0)
+            return history
+          self.hps.tr_step = tr_loader.steps()
+          self.hps.val_step = val_loader.steps()
           for epoch in range(self.hps.epochs):
             t0 = time.time()
             losses = []
@@ -281,14 +311,10 @@ class SemanticSegmentation:
                         )
                     losses.append(metrics["loss"])
                     miou.update_from_cm(metrics["cm"])
-                    if preempted["sig"] is not None:
+                    if guard.triggered:
                         break
-            if preempted["sig"] is not None:
-                save_checkpoint(self.state, self.work_dir, best_only=False)
-                logger.log(
-                    {"preempted": True, "epoch": epoch + 1, "step": int(self.state.step)}
-                )
-                print("SIGTERM received: checkpoint saved, training stopped")
+            if guard.triggered:
+                preemption_save(epoch)
                 break
             train_loss = float(np.mean([float(l) for l in losses]))
 
@@ -299,6 +325,13 @@ class SemanticSegmentation:
                 metrics = self._eval_step(self.state, batch)
                 val_losses.append(metrics["loss"])
                 val_miou.update_from_cm(metrics["cm"])
+                if guard.triggered:
+                    break
+            if guard.triggered:
+                # mid-validation: save-and-stop without recording the
+                # partial epoch (its metrics would be misleading)
+                preemption_save(epoch)
+                break
             val_loss = float(np.mean([float(l) for l in val_losses]))
 
             history["loss"].append(train_loss)
@@ -333,16 +366,31 @@ class SemanticSegmentation:
                 f"lr {new_lr:.2e} {'[ckpt]' if saved else ''} "
                 f"({time.time() - t0:.1f}s)"
             )
-        finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+          else:
+            # all epochs completed: the best-val slot is the run's
+            # artifact; drop any mid-run preemption resume slot
+            clear_resume_checkpoint(self.work_dir)
         return history
 
     def evaluate(self, mode: int = voc.MODE_VAL, result_saving: bool = False):
         """Streaming mIoU over the given split; optionally save 4-panel
         image/label/pred/overlay composites (reference evaluate,
-        :1011-1115; rendering :1090-1106)."""
-        loader = self._loader(mode)
+        :1011-1115; rendering :1090-1106).
+
+        SIGTERM (preemption) stops the loop cleanly after the in-flight
+        batch and returns the metric accumulated so far (no state is
+        mutated here, so there is nothing to checkpoint)."""
+        from .utils.preemption import Preempted, PreemptionGuard
+
+        with PreemptionGuard(self.conf.extra.get("preemption_save", True)) as guard:
+            try:
+                loader = self._loader(mode)
+            except Preempted:
+                print("SIGTERM received: evaluation stopped")
+                return MeanIoU(self.nn_arch.num_classes)
+            return self._evaluate_inner(loader, result_saving, guard)
+
+    def _evaluate_inner(self, loader, result_saving, guard):
         self.hps.val_step = loader.steps()
         results_dir = os.path.join(self.work_dir, "results")
         if result_saving:
@@ -365,6 +413,10 @@ class SemanticSegmentation:
         c_miou = MeanIoU(self.nn_arch.num_classes)
         sample_idx = 0
         for batch in self._batches(loader):
+            if guard.triggered:
+                print("SIGTERM received: evaluation stopped "
+                      "(partial metric returned)")
+                break
             names = batch.pop("names")
             metrics = eval_step(self.state, batch)
             c_miou.update_from_cm(metrics["cm"])
@@ -389,8 +441,21 @@ class SemanticSegmentation:
 
     def test(self):
         """Predict the test split and save raw class-index PNGs named after
-        the inputs (reference test(), :1117-1187)."""
-        loader = self._loader(voc.MODE_TEST, with_labels=False)
+        the inputs (reference test(), :1117-1187).
+
+        SIGTERM stops cleanly after the in-flight batch; PNGs written so
+        far are kept."""
+        from .utils.preemption import Preempted, PreemptionGuard
+
+        with PreemptionGuard(self.conf.extra.get("preemption_save", True)) as guard:
+            try:
+                loader = self._loader(voc.MODE_TEST, with_labels=False)
+            except Preempted:
+                print("SIGTERM received: test stopped")
+                return
+            self._test_inner(loader, guard)
+
+    def _test_inner(self, loader, guard):
         self.hps.test_step = loader.steps()
         out_dir = os.path.join(self.work_dir, "test_results")
         if os.path.isdir(out_dir):
@@ -400,6 +465,9 @@ class SemanticSegmentation:
         from PIL import Image
 
         for batch in self._batches(loader, with_labels=False):
+            if guard.triggered:
+                print("SIGTERM received: test stopped (partial results kept)")
+                break
             names = batch["names"]
             # argmax on device; only (B, S, S) int labels cross to host.
             labels = np.asarray(self._label_step(self.state, batch["image"])).astype(

@@ -38,6 +38,11 @@ class SampleSpec:
     # Open Images: mask pixels equal to 1 are remapped to this class index
     # (reference :1358-1359); None for id-coded labels (VOC).
     label_remap_value: int | None = None
+    # False marks a padding duplicate (multi-host shard_specs with
+    # mark_duplicates): still decoded for shape-stable batches, but the
+    # batch 'valid' mask zeroes it out of loss and confusion matrix, so
+    # multi-host evaluation never double-counts wrapped samples.
+    valid: bool = True
 
 
 def _read_list(path: str) -> list[str]:
@@ -89,8 +94,10 @@ def pascal_voc_2012_ext(
     root = _voc_root(resource_path)
     sets = os.path.join(root, "ImageSets", "Segmentation")
     names = _read_list(os.path.join(sets, "train_aug_val.txt"))
-    n_val = int(len(names) * val_ratio)
-    n_train = len(names) - n_val
+    # exact reference formula (:1464, :1467): train = int(n·(1−r)) head
+    # rows — NOT n − int(n·r), which is one sample larger whenever n·r is
+    # fractional (e.g. 12031 specs at r=0.1: 10827/1204, not 10828/1203)
+    n_train = int(len(names) * (1.0 - val_ratio))
     if mode == MODE_TRAIN:
         return _specs(root, names[:n_train], True)
     if mode == MODE_VAL:

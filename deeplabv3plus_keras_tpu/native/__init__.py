@@ -57,7 +57,10 @@ def get_lib():
         if not _lib_tried:
             _lib_tried = True
             try:
-                _lib = _load_library()
+                lib = _load_library()
+                if lib is not None and not _self_check(lib):
+                    lib = None  # byte-parity with PIL not reproduced
+                _lib = lib
             except Exception:
                 _lib = None
         return _lib
@@ -65,6 +68,57 @@ def get_lib():
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+def _self_check(lib) -> bool:
+    """One-time runtime byte-parity check vs PIL (ADVICE r2): decode a
+    generated JPEG + PNG pair through both paths and compare bytes.  The
+    'bit-identical to PIL' property depends on the system libjpeg matching
+    PIL's bundled libjpeg-turbo — IJG libjpeg 9.x differs in upsampling /
+    color conversion — so a machine where it doesn't hold silently falls
+    back to the PIL path instead of silently diverging numerically.
+    """
+    import collections
+    import tempfile
+
+    try:
+        from PIL import Image
+    except Exception:
+        return True  # no PIL → nothing to diverge from
+
+    Spec = collections.namedtuple(
+        "Spec", "image_path label_path label_remap_value"
+    )
+    rng = np.random.default_rng(1024)
+    # gradient + noise exercises chroma subsampling / upsampling paths
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [(x * 4) % 256, (y * 5) % 256, rng.integers(0, 256, (48, 64))],
+        axis=-1,
+    ).astype(np.uint8)
+    lab = rng.integers(0, 32, (48, 64)).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        jpg = os.path.join(td, "c.jpg")
+        png = os.path.join(td, "c.png")
+        Image.fromarray(img).save(jpg, quality=85)
+        Image.fromarray(lab, mode="L").save(png)
+        golden_img = np.asarray(Image.open(jpg).convert("RGB"), np.uint8)
+        golden_lab = np.asarray(Image.open(png), np.uint8)
+
+        img_canvas = np.zeros((1, 64, 64, 3), np.uint8)
+        lab_canvas = np.zeros((1, 64, 64), np.uint8)
+        sizes = np.zeros((1, 2), np.int32)
+        status = _assemble_raw(
+            lib, [Spec(jpg, png, None)], img_canvas, lab_canvas, sizes,
+            nthreads=1,
+        )
+        if status[0] != FL_OK or tuple(sizes[0]) != golden_img.shape[:2]:
+            return False
+        h, w = golden_img.shape[:2]
+        return bool(
+            np.array_equal(img_canvas[0, :h, :w], golden_img)
+            and np.array_equal(lab_canvas[0, :h, :w], golden_lab)
+        )
 
 
 def assemble_batch(
@@ -83,6 +137,10 @@ def assemble_batch(
     lib = get_lib()
     if lib is None:
         raise RuntimeError("fastloader unavailable")
+    return _assemble_raw(lib, specs, img_canvas, lab_canvas, sizes, nthreads)
+
+
+def _assemble_raw(lib, specs, img_canvas, lab_canvas, sizes, nthreads=0):
     n = len(specs)
     assert img_canvas.flags.c_contiguous and img_canvas.dtype == np.uint8
     img_paths = (ctypes.c_char_p * n)(

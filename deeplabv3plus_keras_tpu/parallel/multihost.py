@@ -32,7 +32,8 @@ from . import mesh as mesh_lib
 
 
 def shard_specs(specs, process_index: int | None = None,
-                process_count: int | None = None):
+                process_count: int | None = None,
+                mark_duplicates: bool = False):
     """This process's dataset shard, padded so every host sees the SAME
     number of samples (and therefore the same step count — unequal steps
     would desynchronize the collectives and hang the pod).
@@ -40,18 +41,32 @@ def shard_specs(specs, process_index: int | None = None,
     Strided split (specs[pi::pc]) keeps shards interleaved under the
     loader's epoch shuffling; hosts whose shard is one short wrap around to
     the beginning of their own shard.
+
+    ``mark_duplicates=True`` stamps the wrap-around padding specs with
+    ``valid=False``: the loader then emits them with a 0 batch-validity
+    mask, so metrics (multi-host evaluate) never double-count a wrapped
+    sample (ADVICE r2).  Leave False for training, where a live duplicate
+    is the standard way to keep every host's batch full.
     """
+    import dataclasses
+
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     if pc <= 1:
         return list(specs)
     mine = list(specs[pi::pc])
     if not mine:  # more hosts than samples: wrap the global list
-        mine = [specs[pi % len(specs)]]
+        seed = specs[pi % len(specs)]
+        if mark_duplicates:  # another host owns it: don't count it here
+            seed = dataclasses.replace(seed, valid=False)
+        mine = [seed]
     base = len(mine)
     n_steps = -(-len(specs) // pc)  # ceil: the longest shard's length
     while len(mine) < n_steps:
-        mine.append(mine[len(mine) % base])
+        dup = mine[len(mine) % base]
+        if mark_duplicates:
+            dup = dataclasses.replace(dup, valid=False)
+        mine.append(dup)
     return mine
 
 

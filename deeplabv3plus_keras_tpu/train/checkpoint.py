@@ -8,12 +8,23 @@ save_best_only=True)`` into the SavedModel directory
 params + batch_stats + opt_state + step with best-val-loss retention, so a
 crashed run resumes exactly (the reference could only resume params at
 epoch granularity).
+
+Two slots (ADVICE r2: a preemption save must not clobber the best-val
+weights):
+- ``state``        — the best-val-loss checkpoint (ModelCheckpoint parity).
+- ``state.resume`` — unconditional saves (SIGTERM preemption); never
+  touches the best slot or its ``best_val_loss`` metadata.
+
+``restore_checkpoint`` picks the slot with the larger step (the resume
+slot is by construction from a later training step than the best it
+shadowed; a later best save deletes the then-stale resume slot).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any
 
 MODEL_DIR = "semantic_segmentation_deeplabv3plus"  # reference :454
@@ -23,27 +34,26 @@ def _ckpt_dir(base_dir: str | None) -> str:
     return os.path.abspath(os.path.join(base_dir or ".", MODEL_DIR))
 
 
-def save_checkpoint(state, base_dir: str | None = None, *, val_loss: float | None = None, best_only: bool = True) -> bool:
-    """Save if ``val_loss`` improves on the stored best (or always when
-    best_only=False).  Returns True if written."""
-    import orbax.checkpoint as ocp
-
-    path = _ckpt_dir(base_dir)
+def _read_meta(path: str) -> dict:
     meta_path = os.path.join(path, "meta.json")
-    best = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            best = json.load(f).get("best_val_loss")
-    if best_only and val_loss is not None and best is not None and val_loss >= best:
-        return False
+            return json.load(f)
+    return {}
 
-    import shutil
 
-    # Atomic swap: write the full new checkpoint to 'state.tmp' first, keep
-    # the previous one at 'state.old' until the rename lands — a crash at any
-    # point leaves a restorable checkpoint ('state' or 'state.old').
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _atomic_save(state, tree_path: str) -> None:
+    """Write the full new checkpoint to '<slot>.tmp' first, keep the
+    previous one at '<slot>.old' until the rename lands — a crash at any
+    point leaves a restorable slot ('<slot>' or '<slot>.old')."""
+    import orbax.checkpoint as ocp
+
     ckptr = ocp.StandardCheckpointer()
-    tree_path = os.path.join(path, "state")
     tmp_path, old_path = tree_path + ".tmp", tree_path + ".old"
     for stale in (tmp_path, old_path):
         if os.path.exists(stale):
@@ -55,33 +65,88 @@ def save_checkpoint(state, base_dir: str | None = None, *, val_loss: float | Non
     os.rename(tmp_path, tree_path)
     if os.path.exists(old_path):
         shutil.rmtree(old_path)
-    # A val_loss-less save (e.g. preemption) keeps the stored best so that
-    # best-only retention continues correctly after resume.
-    with open(meta_path, "w") as f:
-        json.dump(
-            {
-                "best_val_loss": float(val_loss) if val_loss is not None else best,
-                "step": int(state.step),
-            },
-            f,
-        )
+
+
+def _slot_path(path: str, slot: str, missing_ok: bool = True) -> str | None:
+    """Resolve a slot to its directory, falling back to '.old' if a crash
+    landed between the atomic-swap renames."""
+    tree_path = os.path.join(path, slot)
+    if os.path.exists(tree_path):
+        return tree_path
+    if os.path.exists(tree_path + ".old"):
+        return tree_path + ".old"
+    return None
+
+
+def save_checkpoint(state, base_dir: str | None = None, *, val_loss: float | None = None, best_only: bool = True) -> bool:
+    """Best-val retention (``best_only=True``, ModelCheckpoint parity) or
+    an unconditional save into the separate resume slot
+    (``best_only=False``, e.g. SIGTERM preemption).  Returns True if
+    written."""
+    path = _ckpt_dir(base_dir)
+    os.makedirs(path, exist_ok=True)
+    meta = _read_meta(path)
+
+    if not best_only:
+        _atomic_save(state, os.path.join(path, "state.resume"))
+        meta["resume_step"] = int(state.step)
+        _write_meta(path, meta)
+        return True
+
+    best = meta.get("best_val_loss")
+    if val_loss is not None and best is not None and val_loss >= best:
+        return False
+    _atomic_save(state, os.path.join(path, "state"))
+    # This best save supersedes any earlier mid-training resume save.
+    for stale in ("state.resume", "state.resume.old", "state.resume.tmp"):
+        sp = os.path.join(path, stale)
+        if os.path.exists(sp):
+            shutil.rmtree(sp)
+    meta = {
+        "best_val_loss": float(val_loss) if val_loss is not None else best,
+        "step": int(state.step),
+    }
+    _write_meta(path, meta)
     return True
 
 
 def restore_checkpoint(state_template, base_dir: str | None = None):
-    """Restore into the structure of ``state_template``; returns state."""
+    """Restore into the structure of ``state_template`` from the most
+    recent slot (resume save wins over an older best save); returns state."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(base_dir)
-    tree_path = os.path.join(path, "state")
-    if not os.path.exists(tree_path) and os.path.exists(tree_path + ".old"):
-        tree_path += ".old"  # crash landed between the atomic-swap renames
-    if not os.path.exists(tree_path):
-        raise FileNotFoundError(f"no checkpoint at {tree_path}")
+    meta = _read_meta(path)
+    best_path = _slot_path(path, "state")
+    resume_path = _slot_path(path, "state.resume")
+    tree_path = best_path
+    if resume_path is not None and (
+        best_path is None
+        or meta.get("resume_step", -1) >= meta.get("step", 0)
+    ):
+        tree_path = resume_path
+    if tree_path is None:
+        raise FileNotFoundError(f"no checkpoint under {path}")
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(tree_path, state_template)
 
 
+def clear_resume_checkpoint(base_dir: str | None = None) -> None:
+    """Drop the resume slot (training completed normally: the best-val
+    slot is the run's artifact, reference ModelCheckpoint semantics)."""
+    path = _ckpt_dir(base_dir)
+    for stale in ("state.resume", "state.resume.old", "state.resume.tmp"):
+        sp = os.path.join(path, stale)
+        if os.path.exists(sp):
+            shutil.rmtree(sp)
+    meta = _read_meta(path)
+    if meta.pop("resume_step", None) is not None and os.path.isdir(path):
+        _write_meta(path, meta)
+
+
 def checkpoint_exists(base_dir: str | None = None) -> bool:
-    tree_path = os.path.join(_ckpt_dir(base_dir), "state")
-    return os.path.exists(tree_path) or os.path.exists(tree_path + ".old")
+    path = _ckpt_dir(base_dir)
+    return (
+        _slot_path(path, "state") is not None
+        or _slot_path(path, "state.resume") is not None
+    )

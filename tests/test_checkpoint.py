@@ -19,8 +19,8 @@ from deeplabv3plus_keras_tpu.parallel import (
     shard_step,
 )
 from deeplabv3plus_keras_tpu.train.checkpoint import (
-
     checkpoint_exists,
+    clear_resume_checkpoint,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -84,6 +84,55 @@ def test_atomic_save_leaves_no_temp_dirs(tmp_path):
     assert save_checkpoint(state, wd, val_loss=0.5)  # overwrite path
     d = os.path.join(wd, "semantic_segmentation_deeplabv3plus")
     assert sorted(os.listdir(d)) == ["meta.json", "state"]
+
+
+def test_preemption_save_uses_separate_resume_slot(tmp_path):
+    """ADVICE r2 (medium): a SIGTERM force-save must NOT clobber the
+    best-val slot — it writes 'state.resume'; restore prefers the newer
+    resume state, and the best weights stay restorable underneath."""
+    import json
+    import os
+
+    wd = str(tmp_path)
+    _, state, step, batch = tiny_setup()
+    key = jax.random.PRNGKey(7)
+    state1, _ = step(state, batch, key)
+    assert save_checkpoint(state1, wd, val_loss=1.0)  # best @ step 1
+    state2, _ = step(state1, batch, key)
+    assert save_checkpoint(state2, wd, best_only=False)  # preemption @ 2
+
+    d = os.path.join(wd, "semantic_segmentation_deeplabv3plus")
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["best_val_loss"] == 1.0 and meta["step"] == 1
+    assert meta["resume_step"] == 2
+    assert sorted(os.listdir(d)) == ["meta.json", "state", "state.resume"]
+
+    _, fresh, _, _ = tiny_setup()
+    assert int(restore_checkpoint(fresh, wd).step) == 2  # resume wins
+    clear_resume_checkpoint(wd)
+    assert int(restore_checkpoint(fresh, wd).step) == 1  # best intact
+    with open(os.path.join(d, "meta.json")) as f:
+        assert "resume_step" not in json.load(f)
+
+
+def test_new_best_save_clears_stale_resume_slot(tmp_path):
+    import os
+
+    wd = str(tmp_path)
+    _, state, step, batch = tiny_setup()
+    key = jax.random.PRNGKey(7)
+    state1, _ = step(state, batch, key)
+    assert save_checkpoint(state1, wd, val_loss=1.0)
+    state2, _ = step(state1, batch, key)
+    assert save_checkpoint(state2, wd, best_only=False)
+    state3, _ = step(state2, batch, key)
+    assert save_checkpoint(state3, wd, val_loss=0.5)  # new best supersedes
+
+    d = os.path.join(wd, "semantic_segmentation_deeplabv3plus")
+    assert sorted(os.listdir(d)) == ["meta.json", "state"]
+    _, fresh, _, _ = tiny_setup()
+    assert int(restore_checkpoint(fresh, wd).step) == 3
 
 
 def test_crash_between_swap_renames_still_restores(tmp_path):

@@ -29,6 +29,47 @@ def test_shard_specs_more_hosts_than_samples():
     assert shards == [["a"], ["b"], ["a"]]
 
 
+def test_shard_specs_mark_duplicates_for_evaluation():
+    """mark_duplicates stamps padding specs valid=False so multi-host
+    evaluate never double-counts wrapped samples (ADVICE r2); the loader
+    then emits them with a 0 batch-validity mask."""
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    specs = [SampleSpec(name=f"s{i}", image_path=f"/x/{i}.jpg", label_path=None)
+             for i in range(5)]
+    shards = [shard_specs(specs, pi, 2, mark_duplicates=True) for pi in range(2)]
+    assert all(len(s) == 3 for s in shards)
+    # host 0 owns 0,2,4 (no pad); host 1 owns 1,3 + one wrapped pad
+    assert [s.valid for s in shards[0]] == [True, True, True]
+    assert [s.valid for s in shards[1]] == [True, True, False]
+    assert shards[1][2].name == shards[1][0].name
+    # originals are untouched (replace, not mutation)
+    assert all(s.valid for s in specs)
+    # empty-shard seed (more hosts than samples) is someone else's sample
+    lone = shard_specs(specs[:2], 2, 3, mark_duplicates=True)
+    assert [s.valid for s in lone] == [False]
+
+
+def test_loader_zeroes_validity_of_marked_duplicates(tmp_path):
+    """An invalid spec flows through HostLoader as valid=0 (decoded for
+    shape stability, excluded from loss/CM by every consumer)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from deeplabv3plus_keras_tpu.data.pipeline import HostLoader
+    from deeplabv3plus_keras_tpu.data.voc import SampleSpec
+
+    img_path = str(tmp_path / "a.jpg")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+    real = SampleSpec(name="a", image_path=img_path, label_path=None)
+    pad = dataclasses.replace(real, valid=False)
+    loader = HostLoader([real, pad], batch_size=2, canvas_size=16,
+                        workers=1, with_labels=False, backend="pil")
+    (batch,) = list(loader)
+    assert batch["valid"].tolist() == [1, 0]
+
+
 @pytest.mark.slow
 def test_globalized_batch_matches_plain_dispatch():
     """On the 8-virtual-device mesh, a batch assembled from 'process-local'
