@@ -31,6 +31,22 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak (bf16 MXU), for the MFU field
+
+
+def _flops_per_step(jitted, steps, *args):
+    """Model FLOPs per train step from XLA's compiled cost analysis (the
+    scan carries `steps` iterations — divide out).  None when the backend
+    doesn't report flops (e.g. CPU stub runs)."""
+    try:
+        comp = jitted.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops / steps if flops > 0 else None
+    except Exception:
+        return None
 
 
 def _train_only_throughput(
@@ -194,6 +210,20 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
     label_time = timed(multi_label, state, batch["image"])
 
     combined = B / (train_time + infer_time)
+    # MFU (VERDICT r2 item 7): model FLOPs from XLA cost analysis over the
+    # measured step time, against the v5e bf16 MXU peak — the utilization
+    # number behind the img/s headline.
+    flops_step = _flops_per_step(multi_train, steps, state, batch, rng)
+    mfu = {}
+    if flops_step is not None:
+        achieved = flops_step / train_time
+        mfu = {
+            "train_model_tflops_per_step": round(flops_step / 1e12, 3),
+            "train_achieved_tflops_per_sec": round(achieved / 1e12, 2),
+            "mfu_pct_of_v5e_bf16_peak": round(
+                100.0 * achieved / V5E_BF16_PEAK_FLOPS, 2
+            ),
+        }
     extra = {}
     if addons:
         # the two other headline points from PERFORMANCE.md, captured in the
@@ -226,6 +256,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "dtype": dtype,
             "device": str(jax.devices()[0]),
             "tunnel_probe_ms": probe_ms,
+            **mfu,
             **extra,
         },
     }
