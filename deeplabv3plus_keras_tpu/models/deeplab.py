@@ -25,7 +25,20 @@ from .decoder import Decoder
 from .encoder import EncoderMiddle
 
 
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+    # f64 exists for the fp64 trajectory-parity suite (requires
+    # jax_enable_x64); never a TPU production dtype.
+    "float64": jnp.float64,
+}
+
+
+def _at_least_f32(x):
+    """Model outputs are ≥fp32: bf16/f16 compute upcasts (loss/mIoU stay
+    fp32), f64 passes through."""
+    return x.astype(jnp.promote_types(jnp.result_type(x), jnp.float32))
 
 
 class DeepLabV3Plus(nn.Module):
@@ -73,11 +86,9 @@ class DeepLabV3Plus(nn.Module):
             logits, up = self.decoder(
                 base_features, encoder_features, train, return_presample=True
             )
-            return logits.astype(jnp.float32), up
+            return _at_least_f32(logits), up
         probs = self.decoder(base_features, encoder_features, train)
-        # Softmax output in float32 regardless of compute dtype (loss/mIoU
-        # numerics stay fp32 even under bf16 compute).
-        return probs.astype(jnp.float32)
+        return _at_least_f32(probs)
 
 
 def create_model(conf: Config) -> DeepLabV3Plus:

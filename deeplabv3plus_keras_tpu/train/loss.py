@@ -51,10 +51,13 @@ def class_balanced_loss(
     ``valid``: optional (B,) 0/1 mask — the mean runs over valid samples
     only (static-shape replacement for the reference's ragged last batch).
     """
-    pw = jnp.asarray(pos_weights, jnp.float32)
-    nw = jnp.asarray(neg_weights, jnp.float32)
-    y_true = y_true.astype(jnp.float32)
-    y_pred = y_pred.astype(jnp.float32)
+    # ≥fp32 accumulation: bf16/f16 probs promote to f32; f64 (the fp64
+    # trajectory-parity suite) stays f64.
+    dt = jnp.promote_types(jnp.result_type(y_pred), jnp.float32)
+    pw = jnp.asarray(pos_weights, dt)
+    nw = jnp.asarray(neg_weights, dt)
+    y_true = y_true.astype(dt)
+    y_pred = y_pred.astype(dt)
     per_class = -(
         pw * y_true * jnp.log(y_pred + epsilon)
         + nw * (1.0 - y_true) * jnp.log(1.0 - y_pred + epsilon)
@@ -62,7 +65,7 @@ def class_balanced_loss(
     per_pixel = jnp.sum(per_class, axis=-1)  # (B, H, W)
     if valid is None:
         return jnp.mean(per_pixel)
-    v = valid.astype(jnp.float32).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
+    v = valid.astype(dt).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
     denom = jnp.maximum(v.sum() * per_pixel[0].size, 1.0)
     return jnp.sum(per_pixel * v) / denom
 
@@ -92,14 +95,15 @@ def class_balanced_loss_sparse(
 
     labels: (B, H, W) int; y_pred: (B, H, W, C) probabilities.
     """
-    pw = jnp.asarray(pos_weights, jnp.float32)
-    nw = jnp.asarray(neg_weights, jnp.float32)
-    p = y_pred.astype(jnp.float32)
+    dt = jnp.promote_types(jnp.result_type(y_pred), jnp.float32)
+    pw = jnp.asarray(pos_weights, dt)
+    nw = jnp.asarray(neg_weights, dt)
+    p = y_pred.astype(dt)
     t = labels.astype(jnp.int32)
 
     log1m = jnp.log(1.0 - p + epsilon)
     neg_sum = jnp.einsum("...c,c->...", log1m, nw)  # Σ_i nw_i·log(1−p_i+ε)
-    onehot_t = jax.nn.one_hot(t, p.shape[-1], dtype=jnp.float32)  # fused, transient
+    onehot_t = jax.nn.one_hot(t, p.shape[-1], dtype=dt)  # fused, transient
     p_t = jnp.sum(onehot_t * p, axis=-1)
     log1m_t = jnp.log(1.0 - p_t + epsilon)
     per_pixel = -(
@@ -107,7 +111,7 @@ def class_balanced_loss_sparse(
     )
     if valid is None:
         return jnp.mean(per_pixel)
-    v = valid.astype(jnp.float32).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
+    v = valid.astype(dt).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
     denom = jnp.maximum(v.sum() * per_pixel[0].size, 1.0)
     return jnp.sum(per_pixel * v) / denom
 
@@ -119,7 +123,8 @@ def l2_penalty(params, weight_decay: float):
     total = 0.0
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         if any("_l2" in getattr(k, "key", "") for k in path):
-            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+            acc = jnp.promote_types(jnp.result_type(leaf), jnp.float32)
+            total = total + jnp.sum(jnp.square(leaf.astype(acc)))
     return weight_decay * total
 
 

@@ -31,6 +31,14 @@ from typing import Any
 import numpy as np
 
 
+def _as_f32(w):
+    """Weights land as float32 — except float64 sources (the fp64
+    trajectory-parity suite builds Keras under floatx float64), which are
+    preserved so the transplanted model stays fp64 end-to-end."""
+    a = np.asarray(w)
+    return a if a.dtype == np.float64 else np.asarray(a, np.float32)
+
+
 def _keras_layer_name(path: tuple[str, ...]) -> str:
     parts = list(path)
     if parts and parts[-1] == "bn":  # our BatchNorm wrapper level
@@ -163,19 +171,19 @@ def convert_keras_backbone(keras_model, variables, base_path: str = "base"):
                     missing.append(f"{name}:kernel")
                     return
                 assert k.shape == tuple(want), (name, k.shape, want)
-                ptree["kernel"] = np.asarray(k, dtype=np.float32)
+                ptree["kernel"] = _as_f32(k)
                 if "bias" in ptree and "bias" in kw:
-                    ptree["bias"] = np.asarray(kw["bias"], np.float32)
+                    ptree["bias"] = _as_f32(kw["bias"])
             else:  # BatchNorm
                 if "scale" in ptree and "gamma" in kw:
-                    ptree["scale"] = np.asarray(kw["gamma"], np.float32)
+                    ptree["scale"] = _as_f32(kw["gamma"])
                 if "bias" in ptree and "beta" in kw:
-                    ptree["bias"] = np.asarray(kw["beta"], np.float32)
+                    ptree["bias"] = _as_f32(kw["beta"])
                 if btree is not None:
                     if "mean" in btree and "moving_mean" in kw:
-                        btree["mean"] = np.asarray(kw["moving_mean"], np.float32)
+                        btree["mean"] = _as_f32(kw["moving_mean"])
                     if "var" in btree and "moving_variance" in kw:
-                        btree["var"] = np.asarray(kw["moving_variance"], np.float32)
+                        btree["var"] = _as_f32(kw["moving_variance"])
             return
         if isinstance(ptree, dict):
             for k in ptree:
@@ -191,9 +199,9 @@ def convert_keras_backbone(keras_model, variables, base_path: str = "base"):
         kw = kweights.get("normalization")
         if kw is not None:
             if "mean" in kw:
-                b_sub["normalization_mean"] = np.asarray(kw["mean"], np.float32).reshape(-1)
+                b_sub["normalization_mean"] = _as_f32(kw["mean"]).reshape(-1)
             if "variance" in kw:
-                b_sub["normalization_var"] = np.asarray(kw["variance"], np.float32).reshape(-1)
+                b_sub["normalization_var"] = _as_f32(kw["variance"]).reshape(-1)
             used.add("normalization")
 
     new_vars = dict(variables)

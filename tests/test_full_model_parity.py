@@ -97,24 +97,46 @@ class KerasReferenceGraph:
             self.ref_conv, self.ref_bn, self.cls_conv,
         ]
 
-    def __call__(self, x):
+    def __call__(self, x, training=False):
         relu = tf.nn.relu
 
         def up(t, f):
-            h, w = t.shape[1] * f, t.shape[2] * f
-            return tf.image.resize(t, (h, w), method="bilinear")
+            # == tf.image.resize(bilinear, half_pixel_centers) but dtype-
+            # generic: the ResizeBilinear kernel always OUTPUTS float32,
+            # which would break the fp64 trajectory suite.  Same formula
+            # as the TF kernel: in=(i+0.5)/f−0.5, taps (max(0,⌊in⌋),
+            # min(n−1,⌈in⌉)), lerp weight in−⌊in⌋.
+            import numpy as np_
 
-        feats = self.base(x)
-        b0 = relu(self.b0_bn(self.b0_conv(feats)))
-        b1 = relu(self.b1_bn1(self.b1_sep(b0)))  # input: 0 → chained branch
-        b1 = relu(self.b1_bn2(self.b1_conv(b1)))
-        b2 = relu(self.b2_bn(self.b2_conv(self.b2_pool(feats))))
+            def axis_interp(t, axis):
+                n = int(t.shape[axis])
+                src = (np_.arange(n * f) + 0.5) / f - 0.5
+                fl = np_.floor(src)
+                i0 = np_.maximum(0, fl).astype(np_.int32)
+                i1 = np_.minimum(n - 1, np_.ceil(src)).astype(np_.int32)
+                shape = [1, 1, 1, 1]
+                shape[axis] = n * f
+                w = tf.constant(
+                    (src - fl).reshape(shape), dtype=t.dtype
+                )
+                g0 = tf.gather(t, i0, axis=axis)
+                g1 = tf.gather(t, i1, axis=axis)
+                return g0 * (1.0 - w) + g1 * w
+
+            return axis_interp(axis_interp(t, 1), 2)
+
+        feats = self.base(x, training=training)
+        b0 = relu(self.b0_bn(self.b0_conv(feats), training=training))
+        b1 = relu(self.b1_bn1(self.b1_sep(b0), training=training))  # input: 0
+        b1 = relu(self.b1_bn2(self.b1_conv(b1), training=training))
+        b2 = relu(self.b2_bn(self.b2_conv(self.b2_pool(feats)), training=training))
         b2 = up(b2, 2)  # target_size_factor
         cat = tf.concat([b0, b1, b2], axis=-1)
-        enc = relu(self.proj_bn(self.proj_conv(cat)))  # dropout inactive (eval)
+        # dropout: inactive (eval) / rate 0 in the trajectory suite
+        enc = relu(self.proj_bn(self.proj_conv(cat), training=training))
 
-        low = self.base(x)  # the reference's second backbone run (:930)
-        low = relu(self.ref_bn(self.ref_conv(low)))
+        low = self.base(x, training=training)  # second backbone run (:930)
+        low = relu(self.ref_bn(self.ref_conv(low), training=training))
         low = up(low, 8)  # output_stride / 2
         enc = up(enc, 8)
         merged = tf.concat([low, enc], axis=-1)

@@ -36,6 +36,8 @@ LR, B1, B2 = 0.01, 0.5, float(np.float32(0.99))
 
 @pytest.fixture
 def fp64_everywhere():
+    import keras
+
     old_floatx = tf.keras.backend.floatx()
     tf.keras.backend.set_floatx("float64")
     jax.config.update("jax_enable_x64", True)
@@ -43,6 +45,9 @@ def fp64_everywhere():
         yield
     finally:
         tf.keras.backend.set_floatx(old_floatx)
+        # set_floatx alone does NOT reset Keras 3's cached global dtype
+        # POLICY — later-built layers would silently stay float64
+        keras.config.set_dtype_policy(old_floatx)
         jax.config.update("jax_enable_x64", False)
 
 
