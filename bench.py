@@ -34,17 +34,23 @@ BASELINE_IMAGES_PER_SEC = 1.5  # V100 Colab log, BASELINE.md
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak (bf16 MXU), for the MFU field
 
 
-def _flops_per_step(jitted, steps, *args):
-    """Model FLOPs per train step from XLA's compiled cost analysis (the
-    scan carries `steps` iterations — divide out).  None when the backend
-    doesn't report flops (e.g. CPU stub runs)."""
+def _flops_per_step(step_fn, *args):
+    """Model FLOPs of ONE train step from XLA's compiled cost analysis.
+
+    Must be the unscanned step: cost_analysis does not multiply a while/
+    scan body by its trip count (measured: the 10-step scan reported less
+    than one step's flops), while plain matmul/conv flops are exact on
+    this backend (probed within 1%).  None when the backend doesn't
+    report flops (e.g. CPU stub runs)."""
+    import jax
+
     try:
-        comp = jitted.lower(*args).compile()
+        comp = jax.jit(step_fn).lower(*args).compile()
         ca = comp.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
-        return flops / steps if flops > 0 else None
+        return flops if flops > 0 else None
     except Exception:
         return None
 
@@ -213,7 +219,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
     # MFU (VERDICT r2 item 7): model FLOPs from XLA cost analysis over the
     # measured step time, against the v5e bf16 MXU peak — the utilization
     # number behind the img/s headline.
-    flops_step = _flops_per_step(multi_train, steps, state, batch, rng)
+    flops_step = _flops_per_step(train_step, state, batch, rng)
     mfu = {}
     if flops_step is not None:
         achieved = flops_step / train_time
