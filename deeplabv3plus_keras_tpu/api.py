@@ -317,6 +317,20 @@ class SemanticSegmentation:
                 preemption_save(epoch)
                 break
             train_loss = float(np.mean([float(l) for l in losses]))
+            # NaN guard (extra key 'nan_guard', default on): a diverged run
+            # must fail loudly BEFORE poisoning checkpoints/LR bookkeeping.
+            # Epoch-granular so the hot loop stays sync-free (lazy CM).
+            if self.conf.extra.get("nan_guard", True) and not np.isfinite(
+                train_loss
+            ):
+                logger.log({"nan_abort": True, "epoch": epoch + 1,
+                            "loss": train_loss})
+                raise FloatingPointError(
+                    f"non-finite training loss ({train_loss}) at epoch "
+                    f"{epoch + 1}; checkpoint not updated — resume from the "
+                    f"last good checkpoint with 'model_loading': true "
+                    f"(disable this check with 'nan_guard': false)"
+                )
 
             val_losses = []
             val_miou = MeanIoU(self.nn_arch.num_classes)
