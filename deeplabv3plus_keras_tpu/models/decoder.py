@@ -22,11 +22,67 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import dtypes as flax_dtypes
 
+from ..ops.fused_upconv import upsample_conv3
 from ..ops.resize import tf_resize_images
 from .blocks import ConvBNReLU, glorot_uniform
+
+
+class _RefinedClassifier(nn.Module):
+    """upsample×half + 3×3 classifier conv over the CONCAT of the two
+    refinement streams — computed as two per-stream convs plus an add
+    (conv distributes over input-channel concat), so the (B, S/2, S/2,
+    304) concatenated tensor never materializes.  Profiling (round 3)
+    showed the concat + its layout copy cost ~4 ms of the 52 ms bf16
+    train step (1.27 GB touched twice).  The heavy encoder stream
+    additionally fuses its ×half bilinear upsample INTO the conv
+    (ops/fused_upconv: composed transposed conv — micro-benchmarked
+    1.3× fwd and grad at the flagship shape; the 48-ch low stream
+    measured neutral and keeps the plain path).  The parameter stays
+    IDENTICAL to the reference's single fused conv (one ``kernel`` of
+    shape (3, 3, C_low+C_enc, features) at the same flax path), so
+    checkpoints and the Keras weight converter are unaffected.
+    """
+
+    features: int
+    half: int
+    fused: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, low, enc):
+        c_low = low.shape[-1]
+        kernel = self.param(
+            "kernel",
+            glorot_uniform,
+            (3, 3, c_low + enc.shape[-1], self.features),
+            jnp.float32,
+        )
+        low, enc, kernel = flax_dtypes.promote_dtype(
+            low, enc, kernel, dtype=self.dtype
+        )
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        out = conv(
+            tf_resize_images(low, self.half, self.half), kernel[:, :, :c_low]
+        )
+        if self.fused:
+            out = out + upsample_conv3(enc, kernel[:, :, c_low:], self.half)
+        else:
+            out = out + conv(
+                tf_resize_images(enc, self.half, self.half),
+                kernel[:, :, c_low:],
+            )
+        return out
 
 
 class Decoder(nn.Module):
@@ -36,6 +92,9 @@ class Decoder(nn.Module):
     bn_momentum: float
     bn_scale: bool
     dtype: Any = None
+    # extra config key 'fused_upconv' (default on): encoder-stream
+    # upsample fused into the classifier conv; False = plain two-step
+    fused_upconv: bool = True
 
     @nn.compact
     def __call__(
@@ -56,19 +115,27 @@ class Decoder(nn.Module):
                 name="refine_conv48",
             )(base_features, train)
             half = self.output_stride // 2
-            low = tf_resize_images(low, half, half)
-            x = tf_resize_images(x, half, half)
-            x = jnp.concatenate([low, x], axis=-1)
-
-        x = nn.Conv(
-            self.num_classes,
-            (3, 3),
-            padding="SAME",
-            use_bias=False,
-            kernel_init=glorot_uniform,
-            dtype=self.dtype,
-            name="classifier_l2",
-        )(x)
+            # reference upsamples both streams, concats, then convs
+            # (:941-952, :893); identical math here with the concat
+            # eliminated and the encoder-stream upsample fused into the
+            # conv (see _RefinedClassifier / ops/fused_upconv)
+            x = _RefinedClassifier(
+                self.num_classes,
+                half=half,
+                fused=self.fused_upconv,
+                dtype=self.dtype,
+                name="classifier_l2",
+            )(low, x)
+        else:
+            x = nn.Conv(
+                self.num_classes,
+                (3, 3),
+                padding="SAME",
+                use_bias=False,
+                kernel_init=glorot_uniform,
+                dtype=self.dtype,
+                name="classifier_l2",
+            )(x)
 
         up = self.output_stride
         if self.boundary_refinement:

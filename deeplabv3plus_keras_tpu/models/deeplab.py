@@ -73,6 +73,7 @@ class DeepLabV3Plus(nn.Module):
             bn_momentum=hps.bn_momentum,
             bn_scale=hps.bn_scale,
             dtype=dtype,
+            fused_upconv=bool(self.conf.extra.get("fused_upconv", True)),
             name="decoder",
         )
 

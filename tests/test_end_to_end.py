@@ -86,8 +86,10 @@ def test_train_produces_finite_history_and_checkpoint(workspace, trained):
     assert os.path.isdir(
         os.path.join(str(workspace), "semantic_segmentation_deeplabv3plus")
     )
-    # step bookkeeping written back into hps (reference :1487-1509)
-    assert ss.hps.tr_step == 2 and ss.hps.val_step == 1
+    # step bookkeeping written back into hps (reference :1487-1509);
+    # 6 names at val_ratio 0.34 split int(6·0.66)=3 train / 3 val
+    # (exact reference formula, :1464) → ceil steps 2 / 2 at batch 2
+    assert ss.hps.tr_step == 2 and ss.hps.val_step == 2
 
 
 def test_reload_and_evaluate_with_result_saving(workspace, trained):
@@ -98,7 +100,7 @@ def test_reload_and_evaluate_with_result_saving(workspace, trained):
     miou = ss.evaluate(mode=1, result_saving=True)
     assert 0.0 <= miou.result() <= 1.0
     results = os.listdir(os.path.join(str(workspace), "results"))
-    assert len(results) == 2  # n_val samples
+    assert len(results) == 3  # n_val samples (tail slice of 6 at r=0.34)
     # 4-panel composite: width = 4×image width
     from PIL import Image
 

@@ -39,14 +39,16 @@ def fp64_everywhere():
     import keras
 
     old_floatx = tf.keras.backend.floatx()
+    # set/restore BOTH floatx and the dtype policy: Keras 3 caches the
+    # global policy at first materialization; set_floatx alone neither
+    # upgrades nor downgrades it once cached
     tf.keras.backend.set_floatx("float64")
+    keras.config.set_dtype_policy("float64")
     jax.config.update("jax_enable_x64", True)
     try:
         yield
     finally:
         tf.keras.backend.set_floatx(old_floatx)
-        # set_floatx alone does NOT reset Keras 3's cached global dtype
-        # POLICY — later-built layers would silently stay float64
         keras.config.set_dtype_policy(old_floatx)
         jax.config.update("jax_enable_x64", False)
 

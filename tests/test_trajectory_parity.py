@@ -155,14 +155,17 @@ def test_train_trajectory_matches_tf_keras_fp64():
     import keras
 
     old_floatx = tf.keras.backend.floatx()
+    # set BOTH floatx and the dtype policy: Keras 3 caches the global
+    # policy at first materialization, and set_floatx alone neither
+    # upgrades it here (layers would build f32 if an earlier test already
+    # built any) nor downgrades it on teardown
     tf.keras.backend.set_floatx("float64")
+    keras.config.set_dtype_policy("float64")
     jax.config.update("jax_enable_x64", True)
     try:
         losses = _run_both_trajectories(np.float64)
     finally:
         tf.keras.backend.set_floatx(old_floatx)
-        # set_floatx alone does NOT reset Keras 3's cached global dtype
-        # POLICY — later-built layers would silently stay float64
         keras.config.set_dtype_policy(old_floatx)
         jax.config.update("jax_enable_x64", False)
     _assert_trajectory(losses, 5e-8)
