@@ -87,3 +87,37 @@ def test_eval_step_spatial_sharding(setup):
     np.testing.assert_allclose(
         np.asarray(r1["probs"]), np.asarray(r2["probs"]), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_refinement_decoder_invariant_to_spatial_mesh(fused):
+    """The refinement decoder — split classifier conv + the fused
+    upsample-into-conv transposed conv with its border patches (round-3
+    rewrite) — must stay mesh-invariant under ('data','space') sharding:
+    GSPMD has to halo the lhs_dilated conv and partition the
+    dynamic-update-slice border writes without changing numerics."""
+    conf = tiny_conf(8)
+    conf.nn_arch.boundary_refinement = True
+    conf.extra["fused_upconv"] = fused
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)), jnp.float32),
+        "label": jax.nn.one_hot(jnp.asarray(rng.integers(0, 21, (8, 32, 32))), 21),
+        "valid": jnp.ones((8,), jnp.int32),
+    }
+    state, _ = create_train_state(conf, variables)
+    e1 = shard_step(
+        build_eval_step(model, conf), make_mesh(n_data=1, n_space=1), kind="eval"
+    )
+    e2 = shard_step(
+        build_eval_step(model, conf),
+        make_mesh(n_data=2, n_space=4),
+        kind="eval",
+        spatial=True,
+    )
+    r1, r2 = e1(state, batch), e2(state, batch)
+    np.testing.assert_allclose(float(r1["loss"]), float(r2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r1["probs"]), np.asarray(r2["probs"]), atol=1e-5
+    )
