@@ -62,7 +62,9 @@ def test_cache_device_history_matches_streaming(tmp_path):
     # (positional names with "" placeholders must be skipped correctly)
     ss.evaluate(mode=1, result_saving=True)
     results = os.listdir(os.path.join(work, "results"))
-    assert len(results) == 2  # every valid val sample got a panel
+    assert len(results) == 3  # every valid val sample got a panel
+    # (7 names at the conf's val_ratio: reference-exact split int(n·(1−r))
+    # → 4 train / 3 val)
     ss.test()
     outs = sorted(os.listdir(os.path.join(work, "test_results")))
     assert len(outs) == 2 and all(o.endswith(".png") for o in outs)

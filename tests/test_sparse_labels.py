@@ -91,7 +91,7 @@ def test_evaluate_result_saving_under_sparse_labels(tmp_path):
     from PIL import Image
 
     results = sorted(os.listdir(os.path.join(str(tmp_path), "results")))
-    assert len(results) == 2
+    assert len(results) == 3  # 6 names → 3/3 reference-exact split
     panel = np.asarray(Image.open(os.path.join(str(tmp_path), "results", results[0])))
     assert panel.shape == (64, 64 * 4, 3)
     # label pane = scaled int map of the synthetic fixture's label (<=20),
