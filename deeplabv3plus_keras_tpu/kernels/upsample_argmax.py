@@ -18,7 +18,7 @@ TPU mapping:
   vector tiles with no padding waste (channel-minor would pad 21 → 128
   lanes); argmax over channels is a c-step elementwise select chain.
 - The input is edge-padded by one row outside the kernel and kept in HBM
-  (``pltpu.ANY``); each grid step DMAs its overlapping (c, Th+2, w) halo
+  (``pl.ANY``); each grid step DMAs its overlapping (c, Th+2, w) halo
   slab into VMEM scratch (halo slabs are not expressible as disjoint
   BlockSpec blocks), so VMEM holds only one row-tile regardless of h.
 - Output is phase-planar (s, s, Th, w) per tile; the caller interleaves
@@ -114,7 +114,7 @@ def upsample_argmax(logits: jax.Array, scale: int) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((B, s, s, h, wp), jnp.int32),
         grid=(B, n_tiles),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, s, s, th, wp), lambda b, r: (b, 0, 0, r, 0), memory_space=pltpu.VMEM
         ),

@@ -34,18 +34,22 @@ from .blocks import ConvBNReLU, glorot_uniform
 
 class _RefinedClassifier(nn.Module):
     """upsample×half + 3×3 classifier conv over the CONCAT of the two
-    refinement streams — computed as two per-stream convs plus an add
-    (conv distributes over input-channel concat), so the (B, S/2, S/2,
-    304) concatenated tensor never materializes.  Profiling (round 3)
-    showed the concat + its layout copy cost ~4 ms of the 52 ms bf16
-    train step (1.27 GB touched twice).  The heavy encoder stream
-    additionally fuses its ×half bilinear upsample INTO the conv
-    (ops/fused_upconv: composed transposed conv — micro-benchmarked
-    1.3× fwd and grad at the flagship shape; the 48-ch low stream
-    measured neutral and keeps the plain path).  The parameter stays
-    IDENTICAL to the reference's single fused conv (one ``kernel`` of
-    shape (3, 3, C_low+C_enc, features) at the same flax path), so
-    checkpoints and the Keras weight converter are unaffected.
+    refinement streams (reference :941-952 upsample+concat, :893-897
+    conv), computed as ONE composed transposed conv on the LOW-RES
+    concat: both streams live at the same stride-os spatial size, so
+    concatenating there costs ~7 MB instead of the reference's
+    (B, S/2, S/2, 304) high-res concat, and the ×half bilinear upsample
+    folds into the conv (ops/fused_upconv) so neither upsampled stream
+    ever materializes.  Profiling history: round 3 first eliminated the
+    high-res concat by splitting into two per-stream convs (conv
+    distributes over input-channel concat) and fusing only the encoder
+    stream; per-site measurement (tools/resize_attribution.py) then
+    showed the remaining plain low-stream resize+conv cost 7.9 ms
+    fwd+bwd at the flagship shape — merging both streams into one fused
+    call removes it.  The parameter stays IDENTICAL to the reference's
+    single fused conv (one ``kernel`` of shape (3, 3, C_low+C_enc,
+    features) at the same flax path), so checkpoints and the Keras
+    weight converter are unaffected.
     """
 
     features: int
@@ -66,23 +70,25 @@ class _RefinedClassifier(nn.Module):
             low, enc, kernel, dtype=self.dtype
         )
 
+        if self.fused:
+            return upsample_conv3(
+                jnp.concatenate([low, enc], axis=-1), kernel, self.half
+            )
+
         def conv(x, k):
             return jax.lax.conv_general_dilated(
                 x, k, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
+        # reference-literal two-step path: per-stream upsample + conv
+        # (distributed over the concat), kept as the fallback/oracle
         out = conv(
             tf_resize_images(low, self.half, self.half), kernel[:, :, :c_low]
         )
-        if self.fused:
-            out = out + upsample_conv3(enc, kernel[:, :, c_low:], self.half)
-        else:
-            out = out + conv(
-                tf_resize_images(enc, self.half, self.half),
-                kernel[:, :, c_low:],
-            )
-        return out
+        return out + conv(
+            tf_resize_images(enc, self.half, self.half), kernel[:, :, c_low:]
+        )
 
 
 class Decoder(nn.Module):

@@ -23,7 +23,7 @@ from typing import Any, Sequence
 from flax import linen as nn
 
 from ..config import MiddleOp
-from ..ops.resize import tf_resize_images
+from ..ops.resize import tf_resize_images_matmul
 from .blocks import ConvBNReLU, SplitSepConvBlock, avg_pool_valid
 
 
@@ -76,7 +76,10 @@ class EncoderMiddle(nn.Module):
                     dtype=self.dtype,
                     name=f"branch{i}_pool_conv",
                 )(x, train)
-                x = tf_resize_images(
+                # matmul-form resize: same numerics as K.resize_images,
+                # without the pathological conv lowering on tiny pooled
+                # maps (5.9 ms → MXU-trivial; see ops/resize.py)
+                x = tf_resize_images_matmul(
                     x, op.target_size_factor[0], op.target_size_factor[1]
                 )
             else:

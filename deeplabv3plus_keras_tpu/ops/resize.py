@@ -170,3 +170,29 @@ def tf_resize_images(x: jax.Array, height_factor: int, width_factor: int):
     w = x.shape[-2] * int(width_factor)
     shape = x.shape[:-3] + (h, w, x.shape[-1])
     return jax.image.resize(x, shape, method="linear", antialias=False)
+
+
+def tf_resize_images_matmul(x: jax.Array, height_factor: int, width_factor: int):
+    """``tf_resize_images`` computed as two interpolation-matrix
+    contractions instead of XLA's convolution lowering.
+
+    Bilinear resize is a linear operator per axis; its exact matrix falls
+    out of resizing an identity (row i = the interpolation weights of
+    output tap i, ≤2 nonzeros).  For the small pooled feature maps of the
+    encoder's ``pyramid_pooling`` branch (reference :841-856), the conv
+    lowering of ``jax.image.resize`` is pathological — measured 5.9 ms
+    fwd+bwd for (16,2,2,256)→×16 (tools/resize_attribution.py) — while
+    the operator contraction is two tiny MXU matmuls.  Numerically it
+    applies the same ≤2-tap multiply-adds (operators built in fp32, then
+    cast to the compute dtype); XLA constant-folds the identity resizes.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    H, W = h * int(height_factor), w * int(width_factor)
+    ah = jax.image.resize(
+        jnp.eye(h, dtype=jnp.float32), (H, h), method="linear", antialias=False
+    ).astype(x.dtype)
+    aw = jax.image.resize(
+        jnp.eye(w, dtype=jnp.float32), (W, w), method="linear", antialias=False
+    ).astype(x.dtype)
+    y = jnp.einsum("Hh,...hwc->...Hwc", ah, x)
+    return jnp.einsum("Ww,...Hwc->...HWc", aw, y)

@@ -36,9 +36,27 @@ from ..train.loss import (
     class_balanced_loss_sparse,
     l2_penalty,
 )
+from ..ops.parity_tail import tail_loss_cm
 from ..train.metrics import confusion_matrix_update, confusion_matrix_update_sparse
 from ..train.optimizer import make_optimizer
 from . import mesh as mesh_lib
+
+
+def _use_fused_tail(conf: Config) -> bool:
+    """Parity-decomposed tail (ops/parity_tail) applies when the decoder's
+    final upsample is ×2 — i.e. under boundary refinement (reference
+    :899-902: os/8 for os=16, os/4 for os=8 — both ×2).
+
+    Extra config key 'fused_tail', DEFAULT OFF: measured on the v5e, the
+    decomposition is ~11 ms/step SLOWER than XLA's conv-lowered resize at
+    the flagship batch-16 shape (fp32 100.4 vs 89.4 ms) — each parity
+    plane feeds several consumers (softmax reductions, loss, argmax), so
+    XLA materializes all four planes plus the row-lerp intermediates,
+    exceeding the single full-res materialization it replaces.  Kept as a
+    tested option because it changes the memory SHAPE of the tail (peak
+    activation residency drops by the full-res probs tensor), which can
+    matter at image sizes where that tensor dominates HBM headroom."""
+    return bool(conf.extra.get("fused_tail", False)) and conf.nn_arch.boundary_refinement
 
 
 def default_class_weights(num_classes: int):
@@ -111,8 +129,35 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
     pw, nw = class_weights or default_class_weights(num_classes)
     accum = max(1, int(conf.extra.get("grad_accum", 1)))
 
+    fused_tail = _use_fused_tail(conf)
+
     def grads_one(params, batch_stats, batch, drop_rng):
         """loss+l2 value, grads, new batch_stats and cm for one (micro)batch."""
+
+        if fused_tail:
+            # parity-decomposed tail: the model stops at the half-res
+            # logits; upsample+softmax+loss+CM never touch a full-res
+            # tensor (ops/parity_tail.py)
+            def loss_fn(p):
+                (logits, up), mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch["image"],
+                    train=True,
+                    rngs={"dropout": drop_rng},
+                    mutable=["batch_stats"],
+                    return_presample=True,
+                )
+                assert up == 2, "fused tail requires the x2 refinement tail"
+                loss, cm = tail_loss_cm(
+                    logits, batch["label"], pw, nw, num_classes, batch["valid"]
+                )
+                loss = loss + l2_penalty(p, wd)
+                return loss, (cm, mutated["batch_stats"])
+
+            (loss, (cm, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return loss, grads, new_bs, cm
 
         def loss_fn(p):
             probs, mutated = model.apply(
@@ -204,6 +249,23 @@ def build_eval_step(
     wd = conf.hps.weight_decay
     num_classes = conf.nn_arch.num_classes
     pw, nw = class_weights or default_class_weights(num_classes)
+
+    if _use_fused_tail(conf) and not with_probs:
+        # probs-free validation: same parity-decomposed tail as training
+        def eval_step_fused(state: TrainState, batch):
+            logits, up = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=False,
+                return_presample=True,
+            )
+            assert up == 2
+            loss, cm = tail_loss_cm(
+                logits, batch["label"], pw, nw, num_classes, batch["valid"]
+            )
+            return {"loss": loss + l2_penalty(state.params, wd), "cm": cm}
+
+        return eval_step_fused
 
     def eval_step(state: TrainState, batch):
         probs = model.apply(

@@ -37,6 +37,41 @@ SS_PW = np.array([
 SS_NW = (1.0 - SS_PW).astype(np.float32)
 
 
+def per_pixel_loss_dense(y_true, y_pred, pos_weights, neg_weights, epsilon=1e-7):
+    """The (B, H, W) per-pixel loss term (one-hot labels), in ≥fp32.
+
+    Shared by ``class_balanced_loss`` and the parity-decomposed tail
+    (ops/parity_tail.py), so both paths compute identical per-pixel values.
+    """
+    # ≥fp32 accumulation: bf16/f16 probs promote to f32; f64 (the fp64
+    # trajectory-parity suite) stays f64.
+    dt = jnp.promote_types(jnp.result_type(y_pred), jnp.float32)
+    pw = jnp.asarray(pos_weights, dt)
+    nw = jnp.asarray(neg_weights, dt)
+    y_true = y_true.astype(dt)
+    y_pred = y_pred.astype(dt)
+    per_class = -(
+        pw * y_true * jnp.log(y_pred + epsilon)
+        + nw * (1.0 - y_true) * jnp.log(1.0 - y_pred + epsilon)
+    )
+    return jnp.sum(per_class, axis=-1)  # (B, H, W)
+
+
+def masked_pixel_mean(per_pixel, valid, total_pixels_per_sample=None):
+    """Mean of per-pixel losses over valid samples (``valid`` (B,) 0/1 or
+    None = all).  ``total_pixels_per_sample`` overrides the per-sample
+    pixel count in the denominator — the parity tail passes the FULL-RES
+    count while summing quarter-res planes."""
+    dt = jnp.result_type(per_pixel)
+    n_pix = total_pixels_per_sample or per_pixel[0].size
+    if valid is None:
+        b = per_pixel.shape[0]
+        return jnp.sum(per_pixel) / jnp.asarray(b * n_pix, dt)
+    v = valid.astype(dt).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
+    denom = jnp.maximum(v.sum() * n_pix, 1.0)
+    return jnp.sum(per_pixel * v) / denom
+
+
 def class_balanced_loss(
     y_true,
     y_pred,
@@ -51,23 +86,10 @@ def class_balanced_loss(
     ``valid``: optional (B,) 0/1 mask — the mean runs over valid samples
     only (static-shape replacement for the reference's ragged last batch).
     """
-    # ≥fp32 accumulation: bf16/f16 probs promote to f32; f64 (the fp64
-    # trajectory-parity suite) stays f64.
-    dt = jnp.promote_types(jnp.result_type(y_pred), jnp.float32)
-    pw = jnp.asarray(pos_weights, dt)
-    nw = jnp.asarray(neg_weights, dt)
-    y_true = y_true.astype(dt)
-    y_pred = y_pred.astype(dt)
-    per_class = -(
-        pw * y_true * jnp.log(y_pred + epsilon)
-        + nw * (1.0 - y_true) * jnp.log(1.0 - y_pred + epsilon)
-    )
-    per_pixel = jnp.sum(per_class, axis=-1)  # (B, H, W)
+    per_pixel = per_pixel_loss_dense(y_true, y_pred, pos_weights, neg_weights, epsilon)
     if valid is None:
         return jnp.mean(per_pixel)
-    v = valid.astype(dt).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
-    denom = jnp.maximum(v.sum() * per_pixel[0].size, 1.0)
-    return jnp.sum(per_pixel * v) / denom
+    return masked_pixel_mean(per_pixel, valid)
 
 
 def class_balanced_loss_sparse(
@@ -95,6 +117,15 @@ def class_balanced_loss_sparse(
 
     labels: (B, H, W) int; y_pred: (B, H, W, C) probabilities.
     """
+    per_pixel = per_pixel_loss_sparse(labels, y_pred, pos_weights, neg_weights, epsilon)
+    if valid is None:
+        return jnp.mean(per_pixel)
+    return masked_pixel_mean(per_pixel, valid)
+
+
+def per_pixel_loss_sparse(labels, y_pred, pos_weights, neg_weights, epsilon=1e-7):
+    """The (B, H, W) per-pixel loss term (integer labels), in ≥fp32.
+    See ``class_balanced_loss_sparse`` for the collapsed formula."""
     dt = jnp.promote_types(jnp.result_type(y_pred), jnp.float32)
     pw = jnp.asarray(pos_weights, dt)
     nw = jnp.asarray(neg_weights, dt)
@@ -106,14 +137,7 @@ def class_balanced_loss_sparse(
     onehot_t = jax.nn.one_hot(t, p.shape[-1], dtype=dt)  # fused, transient
     p_t = jnp.sum(onehot_t * p, axis=-1)
     log1m_t = jnp.log(1.0 - p_t + epsilon)
-    per_pixel = -(
-        pw[t] * jnp.log(p_t + epsilon) + neg_sum - nw[t] * log1m_t
-    )
-    if valid is None:
-        return jnp.mean(per_pixel)
-    v = valid.astype(dt).reshape((-1,) + (1,) * (per_pixel.ndim - 1))
-    denom = jnp.maximum(v.sum() * per_pixel[0].size, 1.0)
-    return jnp.sum(per_pixel * v) / denom
+    return -(pw[t] * jnp.log(p_t + epsilon) + neg_sum - nw[t] * log1m_t)
 
 
 def l2_penalty(params, weight_decay: float):

@@ -1,0 +1,145 @@
+"""Parity-decomposed ×2 tail (ops/parity_tail) must equal the two-step
+resize→softmax→loss/CM computation — values, confusion matrices, and the
+training dynamics through build_train_step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deeplabv3plus_keras_tpu.ops.parity_tail import tail_loss_cm, upsample2_parities
+from deeplabv3plus_keras_tpu.ops.resize import tf_resize_images
+from deeplabv3plus_keras_tpu.train.loss import (
+    SS_NW,
+    SS_PW,
+    class_balanced_loss,
+    class_balanced_loss_sparse,
+)
+from deeplabv3plus_keras_tpu.train.metrics import (
+    confusion_matrix_update,
+    confusion_matrix_update_sparse,
+)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 21), (1, 5, 9, 4), (3, 16, 12, 7)])
+def test_parities_match_strided_resize(rng, shape):
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    up = tf_resize_images(x, 2, 2)
+    planes = upsample2_parities(x)
+    for ph in (0, 1):
+        for pw in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(planes[ph][pw]),
+                np.asarray(up[:, ph::2, pw::2, :]),
+                atol=5e-7,
+            )
+
+
+def _ref_tail(logits, label, valid, dense):
+    probs = jax.nn.softmax(tf_resize_images(logits, 2, 2), axis=-1)
+    C = logits.shape[-1]
+    pw, nw = SS_PW[:C], SS_NW[:C]
+    if dense:
+        loss = class_balanced_loss(label, probs, pw, nw, valid=valid)
+        cm = confusion_matrix_update(label, probs, C, valid)
+    else:
+        loss = class_balanced_loss_sparse(label, probs, pw, nw, valid=valid)
+        cm = confusion_matrix_update_sparse(label, probs, C, valid)
+    return loss, cm
+
+
+@pytest.mark.parametrize("dense", [True, False])
+@pytest.mark.parametrize("with_valid", [False, True])
+def test_tail_loss_cm_matches_two_step(rng, dense, with_valid):
+    B, h, w, C = 3, 16, 16, 21
+    logits = jnp.asarray(rng.normal(size=(B, h, w, C)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, C, (B, 2 * h, 2 * w)))
+    label = jax.nn.one_hot(ids, C, dtype=jnp.float32) if dense else ids
+    valid = jnp.asarray([1, 1, 0], jnp.int32) if with_valid else None
+
+    ref_loss, ref_cm = _ref_tail(logits, label, valid, dense)
+    loss, cm = tail_loss_cm(logits, label, SS_PW[:C], SS_NW[:C], C, valid)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+
+
+def _flagship_batch(rng, B, S):
+    return {
+        "image": jnp.asarray(rng.uniform(-1, 1, (B, S, S, 3)), jnp.float32),
+        "label": jax.nn.one_hot(jnp.asarray(rng.integers(0, 21, (B, S, S))), 21),
+        "valid": jnp.ones((B,), jnp.int32),
+    }
+
+
+def test_train_step_fused_tail_matches_unfused(rng):
+    """One optimizer step of the flagship-shaped refinement model with and
+    without the fused tail: the step-1 loss is computed on IDENTICAL
+    params, so it must agree to fp reassociation; the CM must agree
+    exactly (train-mode BN batch stats make argmax margins O(1)); params
+    after the Adam update agree to ~lr — Adam's first-step update is
+    ±lr·sign(g), so a 1e-7 grad reassociation flips near-zero-gradient
+    params by 2·lr (the same Adam sign-chaos bounded in
+    tests/test_trajectory_parity.py), which is why multi-step trajectories
+    are not compared bitwise here."""
+    from __graft_entry__ import _flagship_conf
+    from deeplabv3plus_keras_tpu.models import init_model
+    from deeplabv3plus_keras_tpu.parallel import build_train_step, create_train_state
+
+    B, S = 2, 64
+    metrics, states = {}, {}
+    lr = None
+    for fused in (True, False):
+        conf = _flagship_conf(image_size=S, batch_size=B)
+        conf.extra["fused_tail"] = fused
+        lr = conf.hps.lr
+        model, variables = init_model(conf, jax.random.PRNGKey(0))
+        state, tx = create_train_state(conf, variables)
+        step = jax.jit(build_train_step(model, tx, conf))
+        batch = _flagship_batch(np.random.default_rng(3), B, S)
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        metrics[fused], states[fused] = m, state
+
+    np.testing.assert_allclose(
+        float(metrics[True]["loss"]), float(metrics[False]["loss"]), rtol=2e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(metrics[True]["cm"]), np.asarray(metrics[False]["cm"])
+    )
+    for a, b in zip(
+        jax.tree.leaves(states[True].params), jax.tree.leaves(states[False].params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3 * lr)
+
+
+def test_eval_step_fused_tail_matches_unfused(rng):
+    """Eval-mode comparison.  bn_momentum=0 + one train step makes the
+    running BN statistics equal the batch statistics, so eval-mode logits
+    are O(1)-decisive (a freshly initialized flagship model emits logits
+    with std ~4e-7 in eval mode — argmax there is fp-reassociation
+    noise, not signal)."""
+    from __graft_entry__ import _flagship_conf
+    from deeplabv3plus_keras_tpu.models import init_model
+    from deeplabv3plus_keras_tpu.parallel import build_train_step, create_train_state
+    from deeplabv3plus_keras_tpu.parallel.step import build_eval_step
+
+    B, S = 2, 64
+    conf = _flagship_conf(image_size=S, batch_size=B)
+    conf.extra["fused_tail"] = True
+    conf.hps.bn_momentum = 0.0
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    state, tx = create_train_state(conf, variables)
+    batch = _flagship_batch(np.random.default_rng(3), B, S)
+    state, _ = jax.jit(build_train_step(model, tx, conf))(
+        state, batch, jax.random.PRNGKey(7)
+    )
+
+    fused = jax.jit(build_eval_step(model, conf, with_probs=False))(state, batch)
+    conf2 = _flagship_conf(image_size=S, batch_size=B)
+    conf2.extra["fused_tail"] = False
+    plain = jax.jit(build_eval_step(model, conf2, with_probs=False))(state, batch)
+    np.testing.assert_allclose(
+        float(fused["loss"]), float(plain["loss"]), rtol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(fused["cm"]), np.asarray(plain["cm"]))

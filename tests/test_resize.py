@@ -87,3 +87,33 @@ def test_resize_symmetric_full_parity_with_scipy(rng):
         # fp32 kernel vs fp64 scipy reference
         np.testing.assert_allclose(ours, ref, atol=2e-4)
         assert (w, h) == (ww, hh)
+
+
+@pytest.mark.parametrize("shape,factors", [
+    ((2, 2, 2, 256), (16, 16)),   # pyramid-pooling scale (Xception ASPP)
+    ((1, 3, 5, 7), (4, 2)),       # ragged dims, asymmetric factors
+    ((2, 32, 32, 21), (2, 2)),    # decoder-logits scale
+])
+def test_tf_resize_matmul_matches_image_resize(rng, shape, factors):
+    """The interpolation-matrix form must reproduce jax.image.resize
+    (= K.resize_images half-pixel bilinear) exactly: its operator rows ARE
+    the resize weights, applied as the same <=2-tap multiply-adds."""
+    import jax.numpy as jnp
+
+    from deeplabv3plus_keras_tpu.ops.resize import (
+        tf_resize_images,
+        tf_resize_images_matmul,
+    )
+
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    ref = tf_resize_images(x, *factors)
+    out = tf_resize_images_matmul(x, *factors)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(tf_resize_images_matmul(xb, *factors), np.float32),
+        np.asarray(tf_resize_images(xb, *factors), np.float32),
+        atol=2e-2,
+    )
