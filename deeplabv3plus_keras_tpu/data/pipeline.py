@@ -249,20 +249,32 @@ class HostLoader:
 
         def worker():
             while not stop.is_set():
-                try:
-                    i, b = todo.get_nowait()
-                except queue.Empty:
-                    return
-                # stop-aware acquire: a consumer that abandons iteration
-                # (error, preemption, early break) sets `stop` but cannot
-                # release credits, so a plain acquire would park this
-                # thread forever and leak it plus its queued batches.
+                # Acquire the inflight credit BEFORE dequeuing a task.
+                # The reverse order deadlocks: threading.Semaphore is
+                # unfair, so the worker holding the OLDEST batch (the one
+                # the in-order consumer is blocked on) can lose every
+                # credit race to workers holding later batches — whose
+                # filled slots the consumer can never reach — wedging all
+                # credits permanently (observed as a full-suite hang in
+                # the 1805-batch epoch-bookkeeping test).  Credit-first,
+                # a worker never holds a task it cannot assemble, so the
+                # oldest task is always picked up by a credited worker.
+                # The acquire is also stop-aware: a consumer that
+                # abandons iteration (error, preemption, early break)
+                # sets `stop` but cannot release credits, so a plain
+                # acquire would park this thread forever.
                 while not inflight.acquire(timeout=0.1):
                     if stop.is_set():
                         return
                 try:
+                    i, b = todo.get_nowait()
+                except queue.Empty:
+                    inflight.release()
+                    return
+                try:
                     slots[i].put(self._assemble(b))
-                except Exception as e:  # surface decode errors to consumer
+                except BaseException as e:  # surface errors to consumer —
+                    # a slot left unfilled hangs the in-order consumer
                     slots[i].put(e)
 
         threads = [
@@ -277,7 +289,7 @@ class HostLoader:
             for i in range(len(batches)):
                 item = slots[i].get()
                 inflight.release()
-                if isinstance(item, Exception):
+                if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:

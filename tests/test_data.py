@@ -253,3 +253,43 @@ def test_config_roundtrip_preserves_extra_keys():
     assert out["base_model"] == "xception"
     assert out["hps"]["lr"] == 0.01
     assert out["nn_arch"]["output_stride"] == 8
+
+
+def test_loader_prefetch_pool_never_wedges_under_credit_contention(voc_root):
+    """Starvation regression (pipeline.py worker): with more workers than
+    inflight credits, the old dequeue-then-acquire order let a worker
+    holding the OLDEST batch lose the (unfair, 0.1 s-poll-scrambled)
+    semaphore race to workers holding later batches, wedging the in-order
+    consumer forever — observed as a full-suite hang in the 1805-batch
+    epoch-bookkeeping test.  Credit-first acquisition must drain a long
+    4-worker/2-credit epoch with >0.1 s jittered assembly latency (the
+    poll-timeout scrambling is what exposes the unfairness; this config
+    wedged the old code in 4/4 simulated runs by batch ~30)."""
+    import threading
+    import time
+
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN) * 12  # one 60-batch epoch
+    loader = HostLoader(
+        specs, batch_size=1, canvas_size=64, workers=4, max_queue_size=2,
+        cache=True, backend="pil",
+    )
+    orig = loader._assemble
+    jitter = np.random.default_rng(0)
+
+    def slow_assemble(b):
+        time.sleep(float(jitter.uniform(0, 0.15)))
+        return orig(b)
+
+    loader._assemble = slow_assemble
+    done = threading.Event()
+    names = []
+
+    def consume():
+        for batch in loader:
+            names.append(batch["names"][0])
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=120), "prefetch pool wedged (credit starvation)"
+    assert names == [s.name for s in specs]  # ordered delivery intact
