@@ -28,7 +28,7 @@ from flax import linen as nn
 from flax.linen import dtypes as flax_dtypes
 
 from ..ops.fused_upconv import upsample_conv3
-from ..ops.resize import tf_resize_images
+from ..ops.resize import tf_resize_images, tf_resize_images_matmul
 from .blocks import ConvBNReLU, glorot_uniform
 
 
@@ -150,5 +150,15 @@ class Decoder(nn.Module):
             # low-resolution logits + the upsample factor, for fused
             # upsample+argmax consumers (kernels/upsample_argmax).
             return x, up
-        x = tf_resize_images(x, up, up)
+        # Final upsample form is chosen per compute dtype, both measured
+        # on the v5e at the flagship shape (tools/profile_step.py + A/B
+        # scan): in fp32 the conv lowering of this one site cost 7.9 ms
+        # conv + 3.3 ms layout copies per train step and the matmul form
+        # (two MXU contractions, exact same <=2-tap lerp) takes ~4.5 ms
+        # off the step; in bf16 the conv lowering is the faster one
+        # (matmul-form step regressed 53.5 -> 56.2 ms), so bf16 keeps it.
+        if jnp.dtype(x.dtype) in (jnp.float32, jnp.float64):
+            x = tf_resize_images_matmul(x, up, up)
+        else:
+            x = tf_resize_images(x, up, up)
         return nn.softmax(x, axis=-1)
