@@ -110,6 +110,12 @@ class SemanticSegmentation:
             raise ValueError(f"mesh_space {n_space} must divide num devices {n_devices}")
         self._spatial = n_space > 1
         self.mesh = make_mesh(n_data=n_devices // n_space, n_space=n_space)
+        # The Pallas depthwise stencil is GSPMD-opaque; keep it to
+        # single-device meshes (XLA's conv lowering handles halo exchange
+        # under spatial sharding).
+        from .kernels import set_single_device_mesh
+
+        set_single_device_mesh(n_devices == 1)
 
         init_rng, self.rng = jax.random.split(self.rng)
         size = self.nn_arch.image_size

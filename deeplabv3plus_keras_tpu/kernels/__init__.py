@@ -1,3 +1,16 @@
+from .depthwise3 import (
+    depthwise3x3,
+    depthwise3x3_reference,
+    depthwise_conv,
+    set_single_device_mesh,
+)
 from .upsample_argmax import upsample_argmax, upsample_argmax_reference
 
-__all__ = ["upsample_argmax", "upsample_argmax_reference"]
+__all__ = [
+    "depthwise3x3",
+    "depthwise3x3_reference",
+    "depthwise_conv",
+    "set_single_device_mesh",
+    "upsample_argmax",
+    "upsample_argmax_reference",
+]

@@ -1,0 +1,340 @@
+"""Pallas TPU kernel: depthwise 3×3 convolution (stride 1, SAME) + VJP.
+
+MobileNetV2's signature op (reference backbone via keras.applications
+MobileNetV2; our models/backbones/mobilenetv2.py InvertedResidual).  On
+TPU, XLA executes *fp32* convolutions as a ~3-pass bf16 MXU
+decomposition; for a depthwise conv — which has almost no FLOPs — that
+decomposition is pure overhead: ablation shows all depthwise stages
+together cost ~10 ms of the 85 ms fp32 flagship train step, while the
+same stages in a bf16 step cost ~0.5 ms.  One 128²×144 stage measures
+6.2 ms fwd+bwd at 13-21%% of HBM bandwidth (VMEM-fused floor ~0.7 ms);
+XLA reformulations (nine-shifted-FMA, NCHW) do not fix it.
+
+The stencil is a natural VPU op: nine shift-and-FMA passes.  TPU mapping:
+
+- Layout (B, H, C, W): C rides the 8-sublane axis (every MobileNetV2
+  depthwise width — 32/96/144/192/384/576 — is a multiple of 8, zero
+  padding waste) and W rides the 128-lane axis (spatial widths
+  32/64/128/256 are lane-aligned).  H-shifts are leading-dim slices of
+  the DMA slab; W-shifts are two-piece lane concatenations with a zero
+  edge column (= the conv's SAME zero padding).
+- The (H+2)-row zero-padded input stays in HBM (``pl.ANY``); each grid
+  step DMAs its overlapping (th+2, cb, W) halo slab into VMEM scratch
+  (overlapping slabs are not expressible as disjoint BlockSpec blocks —
+  same pattern as kernels/upsample_argmax.py).
+- Grid (B, H/th, C/cb) with (th, cb) chosen so slab+output fit in a few
+  MB of VMEM; taps are applied in true input precision (fp32 stays
+  fp32 — *more* accurate than XLA's bf16×3 conv decomposition).
+
+Backward (custom_vjp):
+- dL/dx = SAME-correlation of the cotangent with the 180°-flipped taps —
+  the SAME forward kernel with the 9-vector tap table reversed.
+- dL/dk[t, c] = Σ_{b,h,w} x_pad[shifted t] · g — computed in the same
+  pass as dL/dx by a second kernel output that accumulates (9, cb)
+  partial sums across the sequential (b, r) grid steps (TPU grids are
+  sequential, so revisiting an output block is a legal accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_w(x, d: int):
+    """Zero-edge shift by d ∈ {−1, 0, +1} along the last (lane/W) axis.
+
+    Result[w] = x[w + d] with zeros shifted in at the true image edge
+    (the conv's SAME zero padding)."""
+    if d == 0:
+        return x
+    z = jnp.zeros_like(x[..., :1])
+    if d == 1:
+        return jnp.concatenate([x[..., 1:], z], axis=-1)
+    return jnp.concatenate([z, x[..., :-1]], axis=-1)
+
+
+def _fwd_kernel(x_hbm, k_ref, out_ref, scratch, sem, *, th: int, cb: int):
+    cblk = pl.program_id(0)
+    b = pl.program_id(1)
+    r = pl.program_id(2)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * th, th + 2), pl.ds(cblk * cb, cb), :],
+        scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    acc = None
+    for dy in range(3):
+        rows = scratch[dy : dy + th]  # (th, cb, W)
+        for dx in range(3):
+            kv = k_ref[dy * 3 + dx, :].reshape(1, cb, 1)
+            term = _shift_w(rows, dx - 1) * kv
+            acc = term if acc is None else acc + term
+    out_ref[0] = acc
+
+
+def _tiles(H: int, C: int, W: int, itemsize: int):
+    """(th, cb) with th·cb·W·itemsize (+ halo) in the low-MB range."""
+    cb = C
+    while cb > 192 and cb % 2 == 0:
+        cb //= 2
+    th = H
+    # slab + out + dx/dk scratch head-room: keep slab ≤ ~2 MB
+    while th > 8 and (th + 2) * cb * W * itemsize > 2 * 1024 * 1024:
+        th //= 2
+    while H % th:
+        th //= 2
+    return max(th, 1), cb
+
+
+def _dw_fwd_padded(xp: jax.Array, k9: jax.Array, interpret: bool):
+    """Core stencil on the (B, H+2, C, W) zero-padded input."""
+    B, Hp, C, W = xp.shape
+    H = Hp - 2
+    th, cb = _tiles(H, C, W, xp.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, th=th, cb=cb),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, W), xp.dtype),
+        grid=(C // cb, B, H // th),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cb), lambda c, b, r: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, cb, W), lambda c, b, r: (b, r, c, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, cb, W), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, k9)
+
+
+def _bwd_kernel(
+    x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sem, *, th: int, cb: int
+):
+    # C-tile is the OUTERMOST grid dim so every (b, r) visit to this
+    # c-block's dk accumulator is consecutive in the sequential grid —
+    # the condition under which Pallas keeps a revisited output block
+    # resident instead of spilling it between visits.
+    cblk = pl.program_id(0)
+    b = pl.program_id(1)
+    r = pl.program_id(2)
+
+    cx = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * th, th + 2), pl.ds(cblk * cb, cb), :], xs, sem
+    )
+    cx.start()
+    cg = pltpu.make_async_copy(
+        g_hbm.at[b, pl.ds(r * th, th + 2), pl.ds(cblk * cb, cb), :], gs, sem
+    )
+    cx.wait()
+    cg.start()
+    cg.wait()
+
+    # dx: correlation of g with the flipped taps == forward stencil with
+    # the 9-tap table reversed.
+    acc = None
+    for dy in range(3):
+        rows = gs[dy : dy + th]
+        for dx in range(3):
+            kv = k_ref[8 - (dy * 3 + dx), :].reshape(1, cb, 1)
+            term = _shift_w(rows, dx - 1) * kv
+            acc = term if acc is None else acc + term
+    dx_ref[0] = acc
+
+    # dk: per-tap reduction of x_pad[shifted] · g over this tile,
+    # accumulated across the sequential (b, r) grid.
+    g_c = gs[1 : 1 + th]  # center rows = this tile's cotangent
+    first = jnp.logical_and(b == 0, r == 0)
+    for dy in range(3):
+        x_rows = xs[dy : dy + th]
+        for dx in range(3):
+            t = dy * 3 + dx
+            contrib = jnp.sum(_shift_w(x_rows, dx - 1) * g_c, axis=(0, 2))
+
+            @pl.when(first)
+            def _():
+                dk_ref[t, :] = contrib
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dk_ref[t, :] = dk_ref[t, :] + contrib
+
+
+def _dw_bwd_padded(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool):
+    B, Hp, C, W = xp.shape
+    H = Hp - 2
+    th, cb = _tiles(H, C, W, xp.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, th=th, cb=cb),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, C, W), xp.dtype),
+            jax.ShapeDtypeStruct((9, C), xp.dtype),
+        ),
+        grid=(C // cb, B, H // th),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, cb), lambda c, b, r: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th, cb, W), lambda c, b, r: (b, r, c, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((9, cb), lambda c, b, r: (0, c), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, cb, W), xp.dtype),
+            pltpu.VMEM((th + 2, cb, W), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, gp, k9)
+
+
+def _to_bhcw_padded(x_nhwc: jax.Array) -> jax.Array:
+    """(B, H, W, C) → zero-H-padded (B, H+2, C, W)."""
+    xt = jnp.transpose(x_nhwc, (0, 1, 3, 2))
+    return jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.custom_vjp
+def depthwise3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise 3×3, stride 1, SAME, NHWC.
+
+    x: (B, H, W, C); kernel: (3, 3, 1, C) (the HWIO grouped-conv layout
+    flax uses with ``feature_group_count=C``).  Matches
+    ``lax.conv_general_dilated(..., feature_group_count=C)`` — in fp32 it
+    is *more* accurate (true fp32 FMAs vs XLA's bf16×3 decomposition).
+    """
+    k9 = kernel.reshape(9, kernel.shape[-1]).astype(x.dtype)
+    out = _dw_fwd_padded(_to_bhcw_padded(x), k9, _interpret())
+    return jnp.transpose(out, (0, 1, 3, 2))
+
+
+def _vjp_fwd(x, kernel):
+    return depthwise3x3(x, kernel), (x, kernel)
+
+
+def _vjp_bwd(res, g):
+    x, kernel = res
+    k9 = kernel.reshape(9, kernel.shape[-1]).astype(x.dtype)
+    dx, dk9 = _dw_bwd_padded(
+        _to_bhcw_padded(x),
+        _to_bhcw_padded(g.astype(x.dtype)),
+        k9,
+        _interpret(),
+    )
+    dx = jnp.transpose(dx, (0, 1, 3, 2))
+    return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
+
+
+depthwise3x3.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def depthwise3x3_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """lax grouped-conv reference for testing."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher: route eligible depthwise convs to the Pallas stencil.
+# ---------------------------------------------------------------------------
+
+# The Pallas path is a plain custom call that GSPMD cannot partition: a 3×3
+# stencil under spatial sharding needs halo exchange that only XLA's conv
+# lowering inserts automatically.  api.py flips this off whenever the active
+# mesh has more than one device; single-chip (the common and benchmarked
+# case) keeps the kernel.
+_single_device_mesh: bool = True
+
+
+def set_single_device_mesh(flag: bool) -> None:
+    """Called by the runtime when the device mesh is (non-)trivial."""
+    global _single_device_mesh
+    _single_device_mesh = bool(flag)
+
+
+def _pallas_wanted() -> bool:
+    """Env override DLV3_PALLAS_DEPTHWISE: '1' force (interpret off-TPU,
+    for tests), '0' disable, unset/'auto' = TPU backend + trivial mesh."""
+    mode = os.environ.get("DLV3_PALLAS_DEPTHWISE", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu" and _single_device_mesh
+
+
+def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:
+    """Static trace-time eligibility for the Pallas stencil.
+
+    fp32 only: XLA lowers fp32 TPU convs as a ~3-pass bf16 decomposition,
+    which for a near-zero-FLOP depthwise op is pure overhead (~10 ms of the
+    94 ms flagship fp32 step); bf16 convs are already ~free (~0.5 ms
+    measured), so they stay on the MXU path.
+    """
+    if len(x_shape) != 4 or x_dtype != jnp.float32:
+        return False
+    if tuple(k_shape[:3]) != (3, 3, 1) or k_shape[3] != x_shape[3]:
+        return False
+    if tuple(strides) != (1, 1) or tuple(dilation) != (1, 1):
+        return False
+    if padding != "SAME":
+        return False
+    B, H, W, C = x_shape
+    # C rides the 8-sublane axis; reject ragged channel counts (every
+    # MobileNetV2/Xception depthwise width is a multiple of 8).
+    return C % 8 == 0 and H >= 4 and W >= 8
+
+
+def depthwise_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    strides=(1, 1),
+    dilation=(1, 1),
+    padding="SAME",
+) -> jax.Array:
+    """Depthwise conv (NHWC, HWIO with I=1) with automatic Pallas dispatch.
+
+    Numerically matches ``lax.conv_general_dilated(feature_group_count=C)``;
+    on the Pallas path fp32 taps are true fp32 FMAs (strictly *more*
+    accurate than XLA's bf16×3 TPU decomposition of fp32 convs).
+    """
+    if (
+        _pallas_wanted()
+        and pallas_eligible(x.shape, x.dtype, kernel.shape, strides, dilation, padding)
+    ):
+        return depthwise3x3(x, kernel)
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        tuple(strides),
+        padding,
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )

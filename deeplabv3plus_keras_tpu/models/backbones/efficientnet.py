@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import BatchNorm
+from ..blocks import BatchNorm, DepthwiseConv
 
 # Keras EfficientNet conv kernel init: variance scaling (2.0, fan_out,
 # truncated normal).
@@ -97,10 +97,9 @@ class MBConv(nn.Module):
                         dtype=self.dtype, name="expand_conv")(x)
             x = BatchNorm(dtype=self.dtype, name="expand_bn")(x, train)
             x = nn.swish(x)
-        x = nn.Conv(expanded, (self.kernel, self.kernel),
-                    strides=(self.strides, self.strides), padding="SAME",
-                    feature_group_count=expanded, use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype, name="dwconv")(x)
+        x = DepthwiseConv(kernel=self.kernel, strides=self.strides,
+                          kernel_init=conv_init, dtype=self.dtype,
+                          name="dwconv")(x)
         x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
         x = nn.swish(x)
 

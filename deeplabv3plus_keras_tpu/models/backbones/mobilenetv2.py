@@ -26,7 +26,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from ..blocks import BatchNorm, glorot_uniform, relu6
+from ..blocks import BatchNorm, DepthwiseConv, glorot_uniform, relu6
 
 _BN_MOMENTUM = 0.999
 _BN_EPS = 1e-3
@@ -57,13 +57,9 @@ class InvertedResidual(nn.Module):
                 momentum=_BN_MOMENTUM, epsilon=_BN_EPS, dtype=self.dtype, name="expand_BN"
             )(x, train)
             x = relu6(x)
-        x = nn.Conv(
-            x.shape[-1],
-            (3, 3),
-            strides=(self.strides, self.strides),
-            padding="SAME",
-            feature_group_count=x.shape[-1],
-            use_bias=False,
+        x = DepthwiseConv(
+            kernel=3,
+            strides=self.strides,
             kernel_init=glorot_uniform,
             dtype=self.dtype,
             name="depthwise",

@@ -30,7 +30,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import BatchNorm
+from ..blocks import BatchNorm, DepthwiseConv
 
 he_normal = nn.initializers.he_normal()
 _BN_MOM = 0.9997
@@ -82,10 +82,9 @@ class _SepBlock(nn.Module):
         for i, stride in ((1, self.strides), (2, 1)):
             x = nn.relu(x)
             cin = x.shape[-1]
-            x = nn.Conv(cin, (self.kernel, self.kernel), strides=(stride, stride),
-                        padding="SAME", feature_group_count=cin, use_bias=False,
-                        kernel_init=he_normal, dtype=self.dtype,
-                        name=f"separable_conv_{i}_depthwise")(x)
+            x = DepthwiseConv(kernel=self.kernel, strides=stride,
+                              kernel_init=he_normal, dtype=self.dtype,
+                              name=f"separable_conv_{i}_depthwise")(x)
             x = nn.Conv(self.filters, (1, 1), use_bias=False,
                         kernel_init=he_normal, dtype=self.dtype,
                         name=f"separable_conv_{i}_pointwise")(x)

@@ -25,9 +25,48 @@ from typing import Any, Callable, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..kernels.depthwise3 import depthwise_conv
+
 # Keras glorot_uniform / TruncatedNormal(stddev=0.05) equivalents.
 glorot_uniform = nn.initializers.glorot_uniform()
 truncated_normal_05 = nn.initializers.truncated_normal(stddev=0.05, lower=-2.0, upper=2.0)
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise conv, drop-in for ``nn.Conv(cin, feature_group_count=cin)``.
+
+    Identical param tree (one ``kernel`` of HWIO shape (k, k, 1, C), same
+    init semantics, no bias) and identical lax lowering — but routed through
+    :func:`kernels.depthwise3.depthwise_conv`, so eligible fp32 3×3 stride-1
+    SAME sites run the Pallas VPU stencil on single-chip TPU instead of
+    XLA's ~3-pass bf16 decomposition of fp32 convs.
+    """
+
+    kernel: int = 3
+    strides: int = 1
+    dilation: tuple[int, int] = (1, 1)
+    padding: str | Sequence[tuple[int, int]] = "SAME"
+    kernel_init: Callable = glorot_uniform
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel",
+            self.kernel_init,
+            (self.kernel, self.kernel, 1, cin),
+            self.param_dtype,
+        )
+        x, k = nn.dtypes.promote_dtype(x, k, dtype=self.dtype)
+        return depthwise_conv(
+            x,
+            k,
+            strides=(self.strides, self.strides),
+            dilation=self.dilation,
+            padding=self.padding,
+        )
 
 
 class BatchNorm(nn.Module):
@@ -111,15 +150,11 @@ class SeparableConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
-        x = nn.Conv(
-            cin,
-            (self.kernel, self.kernel),
-            strides=(self.strides, self.strides),
-            kernel_dilation=self.dilation,
+        x = DepthwiseConv(
+            kernel=self.kernel,
+            strides=self.strides,
+            dilation=self.dilation,
             padding=self.padding,
-            feature_group_count=cin,
-            use_bias=False,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="depthwise",

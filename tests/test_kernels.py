@@ -63,3 +63,120 @@ def test_tap_major_conv_matches_lax_conv(rng):
         )
     )(k)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# depthwise3: Pallas fp32 depthwise 3×3 stencil + VJP
+# ---------------------------------------------------------------------------
+
+from deeplabv3plus_keras_tpu.kernels.depthwise3 import (  # noqa: E402
+    depthwise3x3,
+    depthwise3x3_reference,
+    depthwise_conv,
+    pallas_eligible,
+)
+
+
+# Every (H, C) depthwise geometry in the flagship MobileNetV2 os16 backbone
+# at 512² plus ragged-W / small-C shapes; trimmed sizes keep interpret-mode
+# runtime sane (C and W alignment is what the kernel is sensitive to).
+_DW_GEOMS = [(2, 16, 16, 8), (2, 8, 24, 16), (1, 12, 20, 144), (2, 6, 40, 96),
+             (1, 9, 13, 32)]
+
+
+@pytest.mark.parametrize("shape", _DW_GEOMS)
+def test_depthwise3_forward_matches_lax(rng, shape):
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(depthwise3x3(x, k)),
+        np.asarray(depthwise3x3_reference(x, k)),
+        atol=2e-6,
+    )
+
+
+@pytest.mark.parametrize("shape", _DW_GEOMS[:3])
+def test_depthwise3_vjp_matches_lax(rng, shape):
+    import jax
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+
+    def loss(fn, x, k):
+        return (fn(x, k) ** 2).sum()
+
+    gx_p, gk_p = jax.grad(lambda x, k: loss(depthwise3x3, x, k), (0, 1))(x, k)
+    gx_l, gk_l = jax.grad(lambda x, k: loss(depthwise3x3_reference, x, k), (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_l), atol=5e-6)
+    # dk is a large reduction — compare relative to its scale.
+    scale = float(np.abs(np.asarray(gk_l)).max())
+    np.testing.assert_allclose(
+        np.asarray(gk_p) / scale, np.asarray(gk_l) / scale, atol=2e-6
+    )
+
+
+def test_depthwise3_bf16(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 16)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, 16)) * 0.2, jnp.bfloat16)
+    a = np.asarray(depthwise3x3(x, k), np.float32)
+    b = np.asarray(depthwise3x3_reference(x, k), np.float32)
+    np.testing.assert_allclose(a, b, atol=0.1)
+
+
+def test_depthwise_conv_dispatcher_eligibility():
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    ok = ((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (1, 1), "SAME")
+    assert pallas_eligible(*ok)
+    # Each single disqualifier flips it off.
+    assert not pallas_eligible((2, 64, 64, 96), bf16, (3, 3, 1, 96), (1, 1), (1, 1), "SAME")
+    assert not pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (2, 2), (1, 1), "SAME")
+    assert not pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (2, 2), "SAME")
+    assert not pallas_eligible((2, 64, 64, 96), f32, (5, 5, 1, 96), (1, 1), (1, 1), "SAME")
+    assert not pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (1, 1), "VALID")
+    assert not pallas_eligible((2, 64, 64, 21), f32, (3, 3, 1, 21), (1, 1), (1, 1), "SAME")
+
+
+@pytest.mark.parametrize(
+    "kw", [dict(strides=(2, 2)), dict(dilation=(2, 2)), dict()]
+)
+def test_depthwise_conv_dispatch_matches_lax(rng, kw, monkeypatch):
+    """The public entry point agrees with lax on both routes: forced-Pallas
+    (interpret) for the eligible case, lax fallback for strided/dilated."""
+    import jax
+
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "1")
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, 16)) * 0.2, jnp.float32)
+    got = depthwise_conv(x, k, **kw)
+    want = jax.lax.conv_general_dilated(
+        x, k, kw.get("strides", (1, 1)), "SAME",
+        rhs_dilation=kw.get("dilation", (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=16,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_depthwise_conv_env_off_is_pure_lax(rng, monkeypatch):
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "0")
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, 16)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(depthwise_conv(x, k)),
+        np.asarray(depthwise3x3_reference(x, k)),
+    )
+
+
+def test_depthwise_module_param_tree_unchanged(rng):
+    """DepthwiseConv must keep nn.Conv's exact param path + HWIO shape so
+    checkpoints and the Keras weight converter are unaffected."""
+    import jax
+
+    from deeplabv3plus_keras_tpu.models.blocks import SeparableConv
+
+    m = SeparableConv(24, kernel=3)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 16)))
+    assert v["params"]["depthwise"]["kernel"].shape == (3, 3, 1, 16)
+    assert v["params"]["pointwise"]["kernel"].shape == (1, 1, 16, 24)

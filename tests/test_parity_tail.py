@@ -61,7 +61,9 @@ def test_tail_loss_cm_matches_two_step(rng, dense, with_valid):
     ref_loss, ref_cm = _ref_tail(logits, label, valid, dense)
     loss, cm = tail_loss_cm(logits, label, SS_PW[:C], SS_NW[:C], C, valid)
 
-    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-6)
+    # fp32 reassociation headroom: the session-scoped rng makes the data
+    # depend on suite composition, so leave margin over the ~2e-6 observed.
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
 
 
