@@ -1,0 +1,129 @@
+"""Honest Pallas depthwise-3×3 benchmark vs the lax grouped-conv path.
+
+Measures fwd and fwd+bwd on the flagship MobileNetV2 depthwise
+geometries (512² input, os16), scan-driven with carry-threaded inputs
+and full-output barriers plus a value fetch (see PERFORMANCE.md
+"Measurement integrity"), min-of-3 against tunnel noise, with a
+device_put probe so congested samples are visible.
+
+python tools/depthwise_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+
+from deeplabv3plus_keras_tpu.kernels import depthwise3x3, depthwise3x3_reference
+
+# Every stride-1 depthwise stage of MobileNetV2 os16 at 512², (B,H,W,C).
+GEOMS = [
+    (16, 256, 256, 96),
+    (16, 128, 128, 144),  # ×2 stages
+    (16, 64, 64, 192),  # ×2
+    (16, 32, 32, 384),  # ×3
+    (16, 32, 32, 576),  # ×2
+]
+
+
+def probe():
+    x = np.ones((16, 512, 512, 3), np.float32)
+    t0 = time.perf_counter()
+    jax.device_put(x).block_until_ready()
+    return time.perf_counter() - t0
+
+
+def timed(build, steps=20, repeats=3):
+    multi = jax.jit(build(steps))
+    out = multi()
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = multi()
+        jax.block_until_ready(out)
+        float(out)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
+
+
+def bench_fwd(fn, x, k, steps=20):
+    def build(steps):
+        def multi():
+            def body(acc, _):
+                y = fn(x + acc * 1e-30, k)
+                return y.mean().astype(jnp.float32) * 1e-30, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+            return acc
+
+        return multi
+
+    return timed(build, steps)
+
+
+def bench_fwdbwd(fn, x, k, steps=20):
+    def loss(x, k, acc):
+        return (fn(x + acc * 1e-30, k) ** 2).mean()
+
+    g = jax.grad(loss, (0, 1))
+
+    def build(steps):
+        def multi():
+            def body(acc, _):
+                gx, gk = g(x, k, acc)
+                return (gx.mean() + gk.mean()).astype(jnp.float32) * 1e-30, None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+            return acc
+
+        return multi
+
+    return timed(build, steps)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} probe={probe()*1e3:.1f}ms", flush=True)
+    # Stage multiplicity of each geometry in the os16 backbone.
+    weights = [1, 2, 2, 3, 2]
+    tot_p = tot_r = tot_pb = tot_rb = 0.0
+    for shape, wmul in zip(GEOMS, weights):
+        B, H, W, C = shape
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+        agree = float(
+            jnp.abs(depthwise3x3(x, k) - depthwise3x3_reference(x, k)).max()
+        )
+        t_p = bench_fwd(depthwise3x3, x, k)
+        t_r = bench_fwd(depthwise3x3_reference, x, k)
+        t_pb = bench_fwdbwd(depthwise3x3, x, k)
+        t_rb = bench_fwdbwd(depthwise3x3_reference, x, k)
+        tot_p += wmul * t_p
+        tot_r += wmul * t_r
+        tot_pb += wmul * t_pb
+        tot_rb += wmul * t_rb
+        print(
+            f"{shape}: maxdiff={agree:.2e} fwd pallas={t_p*1e3:.3f}ms "
+            f"lax={t_r*1e3:.3f}ms ({t_r/t_p:.2f}x) | fwd+bwd "
+            f"pallas={t_pb*1e3:.3f}ms lax={t_rb*1e3:.3f}ms ({t_rb/t_pb:.2f}x) "
+            f"probe={probe()*1e3:.1f}ms",
+            flush=True,
+        )
+    print(
+        f"TOTAL (stage-weighted): fwd pallas={tot_p*1e3:.2f}ms "
+        f"lax={tot_r*1e3:.2f}ms | fwd+bwd pallas={tot_pb*1e3:.2f}ms "
+        f"lax={tot_rb*1e3:.2f}ms",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
