@@ -76,7 +76,9 @@ def _fwd_kernel(x_hbm, k_ref, out_ref, scratch, sem, *, th: int, cb: int):
     for dy in range(3):
         rows = scratch[dy : dy + th]  # (th, cb, W)
         for dx in range(3):
-            kv = k_ref[dy * 3 + dx, :].reshape(1, cb, 1)
+            # k_ref is (9, cb, 1): cb already on sublanes, so this broadcast
+            # over the W lanes needs no relayout.
+            kv = k_ref[dy * 3 + dx]
             term = _shift_w(rows, dx - 1) * kv
             acc = term if acc is None else acc + term
     out_ref[0] = acc
@@ -108,7 +110,7 @@ def _dw_fwd_padded(xp: jax.Array, k9: jax.Array, interpret: bool):
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, cb), lambda c, b, r: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cb, 1), lambda c, b, r: (0, c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, th, cb, W), lambda c, b, r: (b, r, c, 0), memory_space=pltpu.VMEM
@@ -148,28 +150,32 @@ def _bwd_kernel(
     for dy in range(3):
         rows = gs[dy : dy + th]
         for dx in range(3):
-            kv = k_ref[8 - (dy * 3 + dx), :].reshape(1, cb, 1)
+            kv = k_ref[8 - (dy * 3 + dx)]  # (cb, 1), no relayout
             term = _shift_w(rows, dx - 1) * kv
             acc = term if acc is None else acc + term
     dx_ref[0] = acc
 
     # dk: per-tap reduction of x_pad[shifted] · g over this tile,
-    # accumulated across the sequential (b, r) grid.
+    # accumulated across the sequential (b, r) grid.  The (0, 2) reduction
+    # with keepdims leaves (cb, 1) — cb on sublanes, matching dk_ref's
+    # (9, cb, 1) layout with no relayout.
     g_c = gs[1 : 1 + th]  # center rows = this tile's cotangent
     first = jnp.logical_and(b == 0, r == 0)
     for dy in range(3):
         x_rows = xs[dy : dy + th]
         for dx in range(3):
             t = dy * 3 + dx
-            contrib = jnp.sum(_shift_w(x_rows, dx - 1) * g_c, axis=(0, 2))
+            contrib = jnp.sum(
+                _shift_w(x_rows, dx - 1) * g_c, axis=(0, 2), keepdims=True
+            )[0]
 
             @pl.when(first)
             def _():
-                dk_ref[t, :] = contrib
+                dk_ref[t] = contrib
 
             @pl.when(jnp.logical_not(first))
             def _():
-                dk_ref[t, :] = dk_ref[t, :] + contrib
+                dk_ref[t] = dk_ref[t] + contrib
 
 
 def _dw_bwd_padded(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool):
@@ -180,20 +186,20 @@ def _dw_bwd_padded(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool)
         functools.partial(_bwd_kernel, th=th, cb=cb),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, C, W), xp.dtype),
-            jax.ShapeDtypeStruct((9, C), xp.dtype),
+            jax.ShapeDtypeStruct((9, C, 1), xp.dtype),
         ),
         grid=(C // cb, B, H // th),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, cb), lambda c, b, r: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cb, 1), lambda c, b, r: (0, c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
                 (1, th, cb, W), lambda c, b, r: (b, r, c, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((9, cb), lambda c, b, r: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cb, 1), lambda c, b, r: (0, c, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((th + 2, cb, W), xp.dtype),
@@ -222,7 +228,7 @@ def depthwise3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
     ``lax.conv_general_dilated(..., feature_group_count=C)`` — in fp32 it
     is *more* accurate (true fp32 FMAs vs XLA's bf16×3 decomposition).
     """
-    k9 = kernel.reshape(9, kernel.shape[-1]).astype(x.dtype)
+    k9 = kernel.reshape(9, kernel.shape[-1], 1).astype(x.dtype)
     out = _dw_fwd_padded(_to_bhcw_padded(x), k9, _interpret())
     return jnp.transpose(out, (0, 1, 3, 2))
 
@@ -233,7 +239,7 @@ def _vjp_fwd(x, kernel):
 
 def _vjp_bwd(res, g):
     x, kernel = res
-    k9 = kernel.reshape(9, kernel.shape[-1]).astype(x.dtype)
+    k9 = kernel.reshape(9, kernel.shape[-1], 1).astype(x.dtype)
     dx, dk9 = _dw_bwd_padded(
         _to_bhcw_padded(x),
         _to_bhcw_padded(g.astype(x.dtype)),
