@@ -215,6 +215,162 @@ def _to_bhcw_padded(x_nhwc: jax.Array) -> jax.Array:
     return jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
 
 
+# ---------------------------------------------------------------------------
+# NHWC-native variant: C on lanes, W on sublanes — no transposes at all.
+#
+# The (B, H, C, W) layout above has perfect lane alignment (spatial W is a
+# multiple of 128 at every flagship stage) but pays a full transpose on entry
+# and exit — two extra HBM round trips on a memory-bound op.  Here the model's
+# native NHWC goes straight in: W-shifts become sublane shifts, per-channel
+# taps broadcast from a (1, C) lane vector, and ragged C (144, 576, …) only
+# pads VMEM lanes — HBM traffic moves actual bytes either way.  Which wins is
+# an empirical question (DLV3_DW_LAYOUT, tools/depthwise_bench.py).
+# ---------------------------------------------------------------------------
+
+
+def _shift_sub(x, d: int):
+    """Zero-edge shift by d ∈ {−1, 0, +1} along axis -2 (sublane/W axis)."""
+    if d == 0:
+        return x
+    z = jnp.zeros_like(x[..., :1, :])
+    if d == 1:
+        return jnp.concatenate([x[..., 1:, :], z], axis=-2)
+    return jnp.concatenate([z, x[..., :-1, :]], axis=-2)
+
+
+def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem, *, th: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * th, th + 2), :, :], scratch, sem
+    )
+    copy.start()
+    copy.wait()
+
+    acc = None
+    for dy in range(3):
+        rows = scratch[dy : dy + th]  # (th, W, C)
+        for dx in range(3):
+            kv = k_ref[dy * 3 + dx]  # (1, C): lane vector, no relayout
+            term = _shift_sub(rows, dx - 1) * kv
+            acc = term if acc is None else acc + term
+    out_ref[0] = acc
+
+
+def _tiles_nhwc(H: int, W: int, C: int, itemsize: int) -> int:
+    th = H
+    while th > 8 and (th + 2) * W * C * itemsize > 2 * 1024 * 1024:
+        th //= 2
+    while H % th:
+        th //= 2
+    return max(th, 1)
+
+
+def _dw_fwd_nhwc(xp: jax.Array, k9: jax.Array, interpret: bool):
+    """Core stencil on the (B, H+2, W, C) zero-H-padded input."""
+    B, Hp, W, C = xp.shape
+    H = Hp - 2
+    th = _tiles_nhwc(H, W, C, xp.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_nhwc, th=th),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), xp.dtype),
+        grid=(B, H // th),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, W, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, W, C), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, k9)
+
+
+def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sem, *, th: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    cx = pltpu.make_async_copy(x_hbm.at[b, pl.ds(r * th, th + 2), :, :], xs, sem)
+    cx.start()
+    cg = pltpu.make_async_copy(g_hbm.at[b, pl.ds(r * th, th + 2), :, :], gs, sem)
+    cx.wait()
+    cg.start()
+    cg.wait()
+
+    acc = None
+    for dy in range(3):
+        rows = gs[dy : dy + th]
+        for dx in range(3):
+            kv = k_ref[8 - (dy * 3 + dx)]  # (1, C)
+            term = _shift_sub(rows, dx - 1) * kv
+            acc = term if acc is None else acc + term
+    dx_ref[0] = acc
+
+    # dk: (0, 1) reduction leaves a (1, C) lane vector — accumulated into the
+    # single (9, 1, C) block, which every sequential grid step revisits.
+    g_c = gs[1 : 1 + th]
+    first = jnp.logical_and(b == 0, r == 0)
+    for dy in range(3):
+        x_rows = xs[dy : dy + th]
+        for dx in range(3):
+            t = dy * 3 + dx
+            contrib = jnp.sum(
+                _shift_sub(x_rows, dx - 1) * g_c, axis=(0, 1), keepdims=True
+            )[0]
+
+            @pl.when(first)
+            def _():
+                dk_ref[t] = contrib
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dk_ref[t] = dk_ref[t] + contrib
+
+
+def _dw_bwd_nhwc(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool):
+    B, Hp, W, C = xp.shape
+    H = Hp - 2
+    th = _tiles_nhwc(H, W, C, xp.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_nhwc, th=th),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), xp.dtype),
+            jax.ShapeDtypeStruct((9, 1, C), xp.dtype),
+        ),
+        grid=(B, H // th),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th, W, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, W, C), xp.dtype),
+            pltpu.VMEM((th + 2, W, C), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, gp, k9)
+
+
+def _pad_h(x_nhwc: jax.Array) -> jax.Array:
+    return jnp.pad(x_nhwc, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def _layout() -> str:
+    """DLV3_DW_LAYOUT: 'nhwc' (default — transpose-free) or 'bhcw'."""
+    return os.environ.get("DLV3_DW_LAYOUT", "nhwc")
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -228,7 +384,11 @@ def depthwise3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
     ``lax.conv_general_dilated(..., feature_group_count=C)`` — in fp32 it
     is *more* accurate (true fp32 FMAs vs XLA's bf16×3 decomposition).
     """
-    k9 = kernel.reshape(9, kernel.shape[-1], 1).astype(x.dtype)
+    C = kernel.shape[-1]
+    if _layout() == "nhwc":
+        k9 = kernel.reshape(9, 1, C).astype(x.dtype)
+        return _dw_fwd_nhwc(_pad_h(x), k9, _interpret())
+    k9 = kernel.reshape(9, C, 1).astype(x.dtype)
     out = _dw_fwd_padded(_to_bhcw_padded(x), k9, _interpret())
     return jnp.transpose(out, (0, 1, 3, 2))
 
@@ -239,7 +399,14 @@ def _vjp_fwd(x, kernel):
 
 def _vjp_bwd(res, g):
     x, kernel = res
-    k9 = kernel.reshape(9, kernel.shape[-1], 1).astype(x.dtype)
+    C = kernel.shape[-1]
+    if _layout() == "nhwc":
+        k9 = kernel.reshape(9, 1, C).astype(x.dtype)
+        dx, dk9 = _dw_bwd_nhwc(
+            _pad_h(x), _pad_h(g.astype(x.dtype)), k9, _interpret()
+        )
+        return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
+    k9 = kernel.reshape(9, C, 1).astype(x.dtype)
     dx, dk9 = _dw_bwd_padded(
         _to_bhcw_padded(x),
         _to_bhcw_padded(g.astype(x.dtype)),

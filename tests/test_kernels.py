@@ -84,8 +84,10 @@ _DW_GEOMS = [(2, 16, 16, 8), (2, 8, 24, 16), (1, 12, 20, 144), (2, 6, 40, 96),
              (1, 9, 13, 32)]
 
 
+@pytest.mark.parametrize("layout", ["nhwc", "bhcw"])
 @pytest.mark.parametrize("shape", _DW_GEOMS)
-def test_depthwise3_forward_matches_lax(rng, shape):
+def test_depthwise3_forward_matches_lax(rng, shape, layout, monkeypatch):
+    monkeypatch.setenv("DLV3_DW_LAYOUT", layout)
     B, H, W, C = shape
     x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
@@ -96,10 +98,12 @@ def test_depthwise3_forward_matches_lax(rng, shape):
     )
 
 
+@pytest.mark.parametrize("layout", ["nhwc", "bhcw"])
 @pytest.mark.parametrize("shape", _DW_GEOMS[:3])
-def test_depthwise3_vjp_matches_lax(rng, shape):
+def test_depthwise3_vjp_matches_lax(rng, shape, layout, monkeypatch):
     import jax
 
+    monkeypatch.setenv("DLV3_DW_LAYOUT", layout)
     B, H, W, C = shape
     x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)

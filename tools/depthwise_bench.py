@@ -6,7 +6,7 @@ and full-output barriers plus a value fetch (see PERFORMANCE.md
 "Measurement integrity"), min-of-3 against tunnel noise, with a
 device_put probe so congested samples are visible.
 
-python tools/depthwise_bench.py
+python tools/depthwise_bench.py [nhwc|bhcw]
 """
 
 import os
@@ -14,6 +14,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if len(sys.argv) > 1:
+    os.environ["DLV3_DW_LAYOUT"] = sys.argv[1]
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +94,12 @@ def bench_fwdbwd(fn, x, k, steps=20):
 
 def main():
     rng = np.random.default_rng(0)
-    print(f"backend={jax.default_backend()} probe={probe()*1e3:.1f}ms", flush=True)
+    print(
+        f"backend={jax.default_backend()} "
+        f"layout={os.environ.get('DLV3_DW_LAYOUT', 'nhwc')} "
+        f"probe={probe()*1e3:.1f}ms",
+        flush=True,
+    )
     # Stage multiplicity of each geometry in the os16 backbone.
     weights = [1, 2, 2, 3, 2]
     tot_p = tot_r = tot_pb = tot_rb = 0.0
