@@ -26,13 +26,15 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
 from deeplabv3plus_keras_tpu.kernels import depthwise3x3, depthwise3x3_reference
 
-# Every stride-1 depthwise stage of MobileNetV2 os16 at 512², (B,H,W,C).
+# Every stride-1 depthwise stage of the truncated MobileNetV2 os16
+# backbone (through block_12) at 512², (B,H,W,C).  Stride-2 sites
+# (256²C96, 128²C144, 64²C192) stay on the lax path.
 GEOMS = [
-    (16, 256, 256, 96),
-    (16, 128, 128, 144),  # ×2 stages
-    (16, 64, 64, 192),  # ×2
-    (16, 32, 32, 384),  # ×3
-    (16, 32, 32, 576),  # ×2
+    (16, 256, 256, 32),  # expanded_conv
+    (16, 128, 128, 144),  # block_2
+    (16, 64, 64, 192),  # blocks 4-5
+    (16, 32, 32, 384),  # blocks 7-10
+    (16, 32, 32, 576),  # blocks 11-12
 ]
 
 
@@ -101,7 +103,7 @@ def main():
         flush=True,
     )
     # Stage multiplicity of each geometry in the os16 backbone.
-    weights = [1, 2, 2, 3, 2]
+    weights = [1, 1, 2, 4, 2]
     tot_p = tot_r = tot_pb = tot_rb = 0.0
     for shape, wmul in zip(GEOMS, weights):
         B, H, W, C = shape
