@@ -173,6 +173,27 @@ def test_depthwise_conv_env_off_is_pure_lax(rng, monkeypatch):
     )
 
 
+def test_depthwise_dispatch_mesh_guard(monkeypatch):
+    """Auto mode engages only on TPU with a single-device mesh; the env
+    override wins either way (api.py flips the mesh flag on init)."""
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+
+    monkeypatch.delenv("DLV3_PALLAS_DEPTHWISE", raising=False)
+    monkeypatch.setattr(dw3.jax, "default_backend", lambda: "tpu")
+    try:
+        dw3.set_single_device_mesh(True)
+        assert dw3._pallas_wanted()
+        dw3.set_single_device_mesh(False)
+        assert not dw3._pallas_wanted()
+        monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "1")
+        assert dw3._pallas_wanted()
+        monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "0")
+        dw3.set_single_device_mesh(True)
+        assert not dw3._pallas_wanted()
+    finally:
+        dw3.set_single_device_mesh(True)
+
+
 def test_depthwise_module_param_tree_unchanged(rng):
     """DepthwiseConv must keep nn.Conv's exact param path + HWIO shape so
     checkpoints and the Keras weight converter are unaffected."""
