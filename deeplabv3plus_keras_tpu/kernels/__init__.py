@@ -1,6 +1,8 @@
 from .depthwise3 import (
     depthwise3x3,
     depthwise3x3_reference,
+    depthwise3x3_s2,
+    depthwise3x3_s2_reference,
     depthwise_conv,
     set_single_device_mesh,
 )
@@ -9,6 +11,8 @@ from .upsample_argmax import upsample_argmax, upsample_argmax_reference
 __all__ = [
     "depthwise3x3",
     "depthwise3x3_reference",
+    "depthwise3x3_s2",
+    "depthwise3x3_s2_reference",
     "depthwise_conv",
     "set_single_device_mesh",
     "upsample_argmax",

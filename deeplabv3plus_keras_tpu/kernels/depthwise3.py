@@ -433,6 +433,248 @@ def depthwise3x3_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Stride-2 variant via polyphase (parity-plane) decomposition.
+#
+# SAME stride-2 with k=3 on even H/W pads (0, 1) per spatial dim, so
+# out[i,j] = Σ_{dy,dx} x[2i+dy, 2j+dx]·k[dy,dx].  Split x into the four
+# parity planes p_pq[i,j] = x[2i+p, 2j+q] (each (H/2, W/2)); each tap then
+# reads one plane at row/col offset ∈ {0, +1}:
+#
+#   out = k00·ee + k01·eo + k02·ee→ + k10·oe + k11·oo + k12·oe→
+#       + k20·ee↓ + k21·eo↓ + k22·ee↓→
+#
+# (→/↓ = shift by one plane cell, zeros at the bottom/right edge — exactly
+# the conv's asymmetric SAME padding.)  The split/merge interleaves are
+# cheap XLA gathers outside the kernel; inside, everything is the same
+# NHWC shift-and-FMA machinery as the stride-1 stencil.  Covers the
+# remaining flagship depthwise sites (256²C96, 128²C144, 64²C192).
+# ---------------------------------------------------------------------------
+
+
+def _split_parities(x: jax.Array):
+    """(B, H, W, C) → (ee, eo, oe, oo), each (B, H/2, W/2, C)."""
+    B, H, W, C = x.shape
+    v = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return v[:, :, 0, :, 0], v[:, :, 0, :, 1], v[:, :, 1, :, 0], v[:, :, 1, :, 1]
+
+
+def _merge_parities(ee, eo, oe, oo) -> jax.Array:
+    """Inverse of _split_parities."""
+    B, Ho, Wh, C = ee.shape
+    top = jnp.stack([ee, eo], axis=3)  # (B, Ho, Wh, 2, C)
+    bot = jnp.stack([oe, oo], axis=3)
+    v = jnp.stack([top, bot], axis=2)  # (B, Ho, 2, Wh, 2, C)
+    return v.reshape(B, 2 * Ho, 2 * Wh, C)
+
+
+def _tiles_s2(Ho: int, Wh: int, C: int, itemsize: int) -> int:
+    """Row-tile: the bwd kernel holds ~9 th·Wh·C slabs/blocks in VMEM."""
+    th = Ho
+    while th > 4 and th * Wh * C * itemsize > 512 * 1024:
+        th //= 2
+    while Ho % th:
+        th //= 2
+    return max(th, 1)
+
+
+def _fwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, k_ref, out_ref,
+                   ees, eos, oes, oos, s0, s1, s2, s3, *, th: int, wh: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    copies = [
+        pltpu.make_async_copy(ee_h.at[b, pl.ds(r * th, th + 1), :, :], ees, s0),
+        pltpu.make_async_copy(eo_h.at[b, pl.ds(r * th, th + 1), :, :], eos, s1),
+        pltpu.make_async_copy(oe_h.at[b, pl.ds(r * th, th), :, :], oes, s2),
+        pltpu.make_async_copy(oo_h.at[b, pl.ds(r * th, th), :, :], oos, s3),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    out_ref[0] = (
+        k_ref[0] * ees[:th, :wh]
+        + k_ref[2] * ees[:th, 1:]
+        + k_ref[6] * ees[1:, :wh]
+        + k_ref[8] * ees[1:, 1:]
+        + k_ref[1] * eos[:th]
+        + k_ref[7] * eos[1:]
+        + k_ref[3] * oes[:, :wh]
+        + k_ref[5] * oes[:, 1:]
+        + k_ref[4] * oos[...]
+    )
+
+
+def _dw_fwd_s2(eep, eop, oep, oo, k9, interpret: bool):
+    B, Hop, Whp, C = eep.shape  # (B, Ho+1, Wh+1, C)
+    Ho, Wh = Hop - 1, Whp - 1
+    th = _tiles_s2(Ho, Wh, C, eep.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_s2, th=th, wh=Wh),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wh, C), eep.dtype),
+        grid=(B, Ho // th),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, Wh, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 1, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((th + 1, Wh, C), eep.dtype),
+            pltpu.VMEM((th, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((th, Wh, C), eep.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(eep, eop, oep, oo, k9)
+
+
+def _bwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, gp_h, k_ref,
+                   dee_ref, deo_ref, doe_ref, doo_ref, dk_ref,
+                   ees, eos, oes, oos, gps, s0, s1, s2, s3, s4,
+                   *, th: int, wh: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    copies = [
+        pltpu.make_async_copy(ee_h.at[b, pl.ds(r * th, th + 1), :, :], ees, s0),
+        pltpu.make_async_copy(eo_h.at[b, pl.ds(r * th, th + 1), :, :], eos, s1),
+        pltpu.make_async_copy(oe_h.at[b, pl.ds(r * th, th), :, :], oes, s2),
+        pltpu.make_async_copy(oo_h.at[b, pl.ds(r * th, th), :, :], oos, s3),
+        pltpu.make_async_copy(gp_h.at[b, pl.ds(r * th, th + 1), :, :], gps, s4),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    # g shifted reads from the top-left-padded cotangent slab.
+    g = gps[1:, 1:]
+    g_l = gps[1:, :wh]
+    g_u = gps[:th, 1:]
+    g_ul = gps[:th, :wh]
+
+    dee_ref[0] = k_ref[0] * g + k_ref[2] * g_l + k_ref[6] * g_u + k_ref[8] * g_ul
+    deo_ref[0] = k_ref[1] * g + k_ref[7] * g_u
+    doe_ref[0] = k_ref[3] * g + k_ref[5] * g_l
+    doo_ref[0] = k_ref[4] * g
+
+    # dk: per-tap plane·g reductions, accumulated across the sequential grid.
+    first = jnp.logical_and(b == 0, r == 0)
+    taps = (
+        (0, ees[:th, :wh]), (1, eos[:th]), (2, ees[:th, 1:]),
+        (3, oes[:, :wh]), (4, oos[...]), (5, oes[:, 1:]),
+        (6, ees[1:, :wh]), (7, eos[1:]), (8, ees[1:, 1:]),
+    )
+    for t, plane in taps:
+        contrib = jnp.sum(plane * g, axis=(0, 1), keepdims=True)[0]
+
+        @pl.when(first)
+        def _():
+            dk_ref[t] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dk_ref[t] = dk_ref[t] + contrib
+
+
+def _dw_bwd_s2(eep, eop, oep, oo, gp, k9, interpret: bool):
+    B, Hop, Whp, C = eep.shape
+    Ho, Wh = Hop - 1, Whp - 1
+    th = _tiles_s2(Ho, Wh, C, eep.dtype.itemsize)
+    plane = jax.ShapeDtypeStruct((B, Ho, Wh, C), eep.dtype)
+    blk = pl.BlockSpec(
+        (1, th, Wh, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_s2, th=th, wh=Wh),
+        out_shape=(plane, plane, plane, plane,
+                   jax.ShapeDtypeStruct((9, 1, C), eep.dtype)),
+        grid=(B, Ho // th),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            blk, blk, blk, blk,
+            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 1, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((th + 1, Wh, C), eep.dtype),
+            pltpu.VMEM((th, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((th, Wh, C), eep.dtype),
+            pltpu.VMEM((th + 1, Wh + 1, C), eep.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(eep, eop, oep, oo, gp, k9)
+
+
+def _padded_planes(x: jax.Array):
+    """Parity planes padded for the {0, +1} shifts (zeros bottom/right)."""
+    ee, eo, oe, oo = _split_parities(x)
+    eep = jnp.pad(ee, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    eop = jnp.pad(eo, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    oep = jnp.pad(oe, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return eep, eop, oep, oo
+
+
+@jax.custom_vjp
+def depthwise3x3_s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise 3×3, stride 2, SAME (even H/W), NHWC — polyphase Pallas."""
+    k9 = kernel.reshape(9, 1, kernel.shape[-1]).astype(x.dtype)
+    eep, eop, oep, oo = _padded_planes(x)
+    return _dw_fwd_s2(eep, eop, oep, oo, k9, _interpret())
+
+
+def _vjp_fwd_s2(x, kernel):
+    return depthwise3x3_s2(x, kernel), (x, kernel)
+
+
+def _vjp_bwd_s2(res, g):
+    x, kernel = res
+    k9 = kernel.reshape(9, 1, kernel.shape[-1]).astype(x.dtype)
+    eep, eop, oep, oo = _padded_planes(x)
+    gp = jnp.pad(g.astype(x.dtype), ((0, 0), (1, 0), (1, 0), (0, 0)))
+    dee, deo, doe, doo, dk9 = _dw_bwd_s2(eep, eop, oep, oo, gp, k9, _interpret())
+    dx = _merge_parities(dee, deo, doe, doo)
+    return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
+
+
+depthwise3x3_s2.defvjp(_vjp_fwd_s2, _vjp_bwd_s2)
+
+
+def depthwise3x3_s2_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """lax grouped-conv stride-2 reference for testing."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        (2, 2),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher: route eligible depthwise convs to the Pallas stencil.
 # ---------------------------------------------------------------------------
 
@@ -483,6 +725,20 @@ def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bo
     return C % 8 == 0 and H >= 4 and W >= 8
 
 
+def pallas_eligible_s2(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:
+    """Eligibility for the stride-2 polyphase stencil (even H/W only)."""
+    if len(x_shape) != 4 or x_dtype != jnp.float32:
+        return False
+    if tuple(k_shape[:3]) != (3, 3, 1) or k_shape[3] != x_shape[3]:
+        return False
+    if tuple(strides) != (2, 2) or tuple(dilation) != (1, 1):
+        return False
+    if padding != "SAME":
+        return False
+    B, H, W, C = x_shape
+    return C % 8 == 0 and H % 2 == 0 and W % 2 == 0 and H >= 8 and W >= 16
+
+
 def depthwise_conv(
     x: jax.Array,
     kernel: jax.Array,
@@ -497,11 +753,12 @@ def depthwise_conv(
     on the Pallas path fp32 taps are true fp32 FMAs (strictly *more*
     accurate than XLA's bf16×3 TPU decomposition of fp32 convs).
     """
-    if (
-        _pallas_wanted()
-        and pallas_eligible(x.shape, x.dtype, kernel.shape, strides, dilation, padding)
-    ):
-        return depthwise3x3(x, kernel)
+    if _pallas_wanted():
+        args = (x.shape, x.dtype, kernel.shape, strides, dilation, padding)
+        if pallas_eligible(*args):
+            return depthwise3x3(x, kernel)
+        if pallas_eligible_s2(*args):
+            return depthwise3x3_s2(x, kernel)
     return jax.lax.conv_general_dilated(
         x,
         kernel,

@@ -72,8 +72,11 @@ def test_tap_major_conv_matches_lax_conv(rng):
 from deeplabv3plus_keras_tpu.kernels.depthwise3 import (  # noqa: E402
     depthwise3x3,
     depthwise3x3_reference,
+    depthwise3x3_s2,
+    depthwise3x3_s2_reference,
     depthwise_conv,
     pallas_eligible,
+    pallas_eligible_s2,
 )
 
 
@@ -171,6 +174,69 @@ def test_depthwise_conv_env_off_is_pure_lax(rng, monkeypatch):
         np.asarray(depthwise_conv(x, k)),
         np.asarray(depthwise3x3_reference(x, k)),
     )
+
+
+# Stride-2 flagship plane geometries (trimmed) + ragged-W / small-C shapes.
+_DW_S2_GEOMS = [(2, 16, 32, 16), (1, 8, 16, 8), (2, 12, 20, 144), (1, 24, 16, 32)]
+
+
+@pytest.mark.parametrize("shape", _DW_S2_GEOMS)
+def test_depthwise3_s2_forward_matches_lax(rng, shape):
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(depthwise3x3_s2(x, k)),
+        np.asarray(depthwise3x3_s2_reference(x, k)),
+        atol=2e-6,
+    )
+
+
+@pytest.mark.parametrize("shape", _DW_S2_GEOMS[:2])
+def test_depthwise3_s2_vjp_matches_lax(rng, shape):
+    import jax
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+
+    def loss(fn, x, k):
+        return (fn(x, k) ** 2).sum()
+
+    gx_p, gk_p = jax.grad(lambda x, k: loss(depthwise3x3_s2, x, k), (0, 1))(x, k)
+    gx_l, gk_l = jax.grad(
+        lambda x, k: loss(depthwise3x3_s2_reference, x, k), (0, 1)
+    )(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_l), atol=5e-6)
+    scale = float(np.abs(np.asarray(gk_l)).max())
+    np.testing.assert_allclose(
+        np.asarray(gk_p) / scale, np.asarray(gk_l) / scale, atol=2e-6
+    )
+
+
+def test_depthwise_s2_dispatcher_eligibility():
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    ok = ((2, 64, 64, 96), f32, (3, 3, 1, 96), (2, 2), (1, 1), "SAME")
+    assert pallas_eligible_s2(*ok)
+    assert not pallas_eligible_s2((2, 64, 64, 96), bf16, (3, 3, 1, 96), (2, 2), (1, 1), "SAME")
+    assert not pallas_eligible_s2((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (1, 1), "SAME")
+    assert not pallas_eligible_s2((2, 63, 64, 96), f32, (3, 3, 1, 96), (2, 2), (1, 1), "SAME")
+    assert not pallas_eligible_s2((2, 64, 64, 96), f32, (3, 3, 1, 96), (2, 2), (1, 1), "VALID")
+    # Eligible stride-2 goes through the public dispatcher (forced Pallas).
+    import os
+
+    os.environ["DLV3_PALLAS_DEPTHWISE"] = "1"
+    try:
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, 8)) * 0.2, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(depthwise_conv(x, k, strides=(2, 2))),
+            np.asarray(depthwise3x3_s2_reference(x, k)),
+            atol=2e-6,
+        )
+    finally:
+        del os.environ["DLV3_PALLAS_DEPTHWISE"]
 
 
 def test_depthwise_dispatch_mesh_guard(monkeypatch):

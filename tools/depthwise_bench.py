@@ -24,7 +24,12 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 
-from deeplabv3plus_keras_tpu.kernels import depthwise3x3, depthwise3x3_reference
+from deeplabv3plus_keras_tpu.kernels import (
+    depthwise3x3,
+    depthwise3x3_reference,
+    depthwise3x3_s2,
+    depthwise3x3_s2_reference,
+)
 
 # Every stride-1 depthwise stage of the truncated MobileNetV2 os16
 # backbone (through block_12) at 512², (B,H,W,C).  Stride-2 sites
@@ -128,9 +133,37 @@ def main():
             flush=True,
         )
     print(
-        f"TOTAL (stage-weighted): fwd pallas={tot_p*1e3:.2f}ms "
+        f"TOTAL stride-1 (stage-weighted): fwd pallas={tot_p*1e3:.2f}ms "
         f"lax={tot_r*1e3:.2f}ms | fwd+bwd pallas={tot_pb*1e3:.2f}ms "
         f"lax={tot_rb*1e3:.2f}ms",
+        flush=True,
+    )
+
+    # Stride-2 sites (polyphase kernel): block_1/3/6 at 512² os16.
+    s2_tot_pb = s2_tot_rb = 0.0
+    for shape in [(16, 256, 256, 96), (16, 128, 128, 144), (16, 64, 64, 192)]:
+        B, H, W, C = shape
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+        agree = float(
+            jnp.abs(depthwise3x3_s2(x, k) - depthwise3x3_s2_reference(x, k)).max()
+        )
+        t_p = bench_fwd(depthwise3x3_s2, x, k)
+        t_r = bench_fwd(depthwise3x3_s2_reference, x, k)
+        t_pb = bench_fwdbwd(depthwise3x3_s2, x, k)
+        t_rb = bench_fwdbwd(depthwise3x3_s2_reference, x, k)
+        s2_tot_pb += t_pb
+        s2_tot_rb += t_rb
+        print(
+            f"s2 {shape}: maxdiff={agree:.2e} fwd pallas={t_p*1e3:.3f}ms "
+            f"lax={t_r*1e3:.3f}ms ({t_r/t_p:.2f}x) | fwd+bwd "
+            f"pallas={t_pb*1e3:.3f}ms lax={t_rb*1e3:.3f}ms ({t_rb/t_pb:.2f}x) "
+            f"probe={probe()*1e3:.1f}ms",
+            flush=True,
+        )
+    print(
+        f"TOTAL stride-2: fwd+bwd pallas={s2_tot_pb*1e3:.2f}ms "
+        f"lax={s2_tot_rb*1e3:.2f}ms",
         flush=True,
     )
 
