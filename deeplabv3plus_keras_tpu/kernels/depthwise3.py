@@ -692,15 +692,46 @@ def set_single_device_mesh(flag: bool) -> None:
     _single_device_mesh = bool(flag)
 
 
+# Lazily probed on the first auto dispatch on TPU: compile + run the
+# stencils and their VJPs on tiny shapes so a Mosaic rejection on some
+# toolchain degrades to the lax path instead of crashing model compile.
+_viable: bool | None = None
+
+
+def _probe_viable() -> bool:
+    global _viable
+    if _viable is None:
+        try:
+            x = jnp.zeros((1, 8, 16, 8), jnp.float32)
+            k = jnp.zeros((3, 3, 1, 8), jnp.float32)
+            for fn in (depthwise3x3, depthwise3x3_s2):
+                jax.block_until_ready(jax.jit(fn)(x, k))
+                g = jax.jit(jax.grad(lambda x, k, f=fn: (f(x, k) ** 2).sum(), (0, 1)))
+                jax.block_until_ready(g(x, k))
+            _viable = True
+        except Exception as e:  # pragma: no cover - backend-specific
+            import warnings
+
+            warnings.warn(
+                f"Pallas depthwise stencil failed its probe compile; "
+                f"falling back to lax convs: {e!r}"
+            )
+            _viable = False
+    return _viable
+
+
 def _pallas_wanted() -> bool:
     """Env override DLV3_PALLAS_DEPTHWISE: '1' force (interpret off-TPU,
-    for tests), '0' disable, unset/'auto' = TPU backend + trivial mesh."""
+    for tests), '0' disable, unset/'auto' = TPU backend + trivial mesh
+    + a one-time probe compile."""
     mode = os.environ.get("DLV3_PALLAS_DEPTHWISE", "auto")
     if mode == "0":
         return False
     if mode == "1":
         return True
-    return jax.default_backend() == "tpu" and _single_device_mesh
+    return (
+        jax.default_backend() == "tpu" and _single_device_mesh and _probe_viable()
+    )
 
 
 def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:

@@ -246,11 +246,17 @@ def test_depthwise_dispatch_mesh_guard(monkeypatch):
 
     monkeypatch.delenv("DLV3_PALLAS_DEPTHWISE", raising=False)
     monkeypatch.setattr(dw3.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dw3, "_viable", True)  # skip the probe compile
     try:
         dw3.set_single_device_mesh(True)
         assert dw3._pallas_wanted()
         dw3.set_single_device_mesh(False)
         assert not dw3._pallas_wanted()
+        # A failed probe compile degrades auto mode to the lax path.
+        dw3.set_single_device_mesh(True)
+        monkeypatch.setattr(dw3, "_viable", False)
+        assert not dw3._pallas_wanted()
+        monkeypatch.setattr(dw3, "_viable", True)
         monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "1")
         assert dw3._pallas_wanted()
         monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "0")
