@@ -238,28 +238,68 @@ def _shift_sub(x, d: int):
     return jnp.concatenate([z, x[..., :-1, :]], axis=-2)
 
 
-def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem, *, th: int):
+def _pipeline_coords():
+    """(step, parity, not_last, next-b, next-r) for a (B, NR) grid.
+
+    The grid is sequential on TPU, so issuing the NEXT step's halo-slab DMA
+    into the other buffer slot before waiting on this step's overlaps the
+    input DMA with compute (depth-1 prefetch; guide 'Double Buffering').
+    Slot indices stay static by branching on the step parity."""
     b = pl.program_id(0)
     r = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * th, th + 2), :, :], scratch, sem
-    )
-    copy.start()
-    copy.wait()
+    NR = pl.num_programs(1)
+    step = b * NR + r
+    parity = jax.lax.rem(step, 2)
+    not_last = step + 1 < pl.num_programs(0) * NR
+    wrap = r + 1 == NR
+    rn = jax.lax.select(wrap, 0, r + 1)
+    bn = jax.lax.select(wrap, b + 1, b)
+    return b, r, step, parity, not_last, bn, rn
 
-    acc = None
-    for dy in range(3):
-        rows = scratch[dy : dy + th]  # (th, W, C)
-        for dx in range(3):
-            kv = k_ref[dy * 3 + dx]  # (1, C): lane vector, no relayout
-            term = _shift_sub(rows, dx - 1) * kv
-            acc = term if acc is None else acc + term
-    out_ref[0] = acc
+
+def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem, *, th: int):
+    b, r, step, parity, not_last, bn, rn = _pipeline_coords()
+
+    def dma(slot: int, bb, rr):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(rr * th, th + 2), :, :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, b, r).start()
+
+    def process(slot: int):
+        @pl.when(not_last)
+        def _():
+            dma(1 - slot, bn, rn).start()
+
+        dma(slot, b, r).wait()
+        acc = None
+        for dy in range(3):
+            rows = scratch[slot, dy : dy + th]  # (th, W, C)
+            for dx in range(3):
+                kv = k_ref[dy * 3 + dx]  # (1, C): lane vector, no relayout
+                term = _shift_sub(rows, dx - 1) * kv
+                acc = term if acc is None else acc + term
+        out_ref[0] = acc
+
+    @pl.when(parity == 0)
+    def _():
+        process(0)
+
+    @pl.when(parity == 1)
+    def _():
+        process(1)
 
 
 def _tiles_nhwc(H: int, W: int, C: int, itemsize: int) -> int:
+    # ≤1 MB per slab: double-buffered inputs keep 2 slabs (+2 output
+    # buffers) resident, so stay well inside VMEM.
     th = H
-    while th > 8 and (th + 2) * W * C * itemsize > 2 * 1024 * 1024:
+    while th > 8 and (th + 2) * W * C * itemsize > 1024 * 1024:
         th //= 2
     while H % th:
         th //= 2
@@ -284,51 +324,76 @@ def _dw_fwd_nhwc(xp: jax.Array, k9: jax.Array, interpret: bool):
             (1, th, W, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, W, C), xp.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, W, C), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, k9)
 
 
-def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sem, *, th: int):
-    b = pl.program_id(0)
-    r = pl.program_id(1)
+def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sx, sg, *, th: int):
+    b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
-    cx = pltpu.make_async_copy(x_hbm.at[b, pl.ds(r * th, th + 2), :, :], xs, sem)
-    cx.start()
-    cg = pltpu.make_async_copy(g_hbm.at[b, pl.ds(r * th, th + 2), :, :], gs, sem)
-    cx.wait()
-    cg.start()
-    cg.wait()
+    def dmas(slot: int, bb, rr):
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(rr * th, th + 2), :, :], xs.at[slot], sx.at[slot]
+            ),
+            pltpu.make_async_copy(
+                g_hbm.at[bb, pl.ds(rr * th, th + 2), :, :], gs.at[slot], sg.at[slot]
+            ),
+        )
 
-    acc = None
-    for dy in range(3):
-        rows = gs[dy : dy + th]
-        for dx in range(3):
-            kv = k_ref[8 - (dy * 3 + dx)]  # (1, C)
-            term = _shift_sub(rows, dx - 1) * kv
-            acc = term if acc is None else acc + term
-    dx_ref[0] = acc
+    @pl.when(step == 0)
+    def _():
+        for c in dmas(0, b, r):
+            c.start()
 
-    # dk: (0, 1) reduction leaves a (1, C) lane vector — accumulated into the
-    # single (9, 1, C) block, which every sequential grid step revisits.
-    g_c = gs[1 : 1 + th]
-    first = jnp.logical_and(b == 0, r == 0)
-    for dy in range(3):
-        x_rows = xs[dy : dy + th]
-        for dx in range(3):
-            t = dy * 3 + dx
-            contrib = jnp.sum(
-                _shift_sub(x_rows, dx - 1) * g_c, axis=(0, 1), keepdims=True
-            )[0]
+    def process(slot: int):
+        @pl.when(not_last)
+        def _():
+            for c in dmas(1 - slot, bn, rn):
+                c.start()
 
-            @pl.when(first)
-            def _():
-                dk_ref[t] = contrib
+        for c in dmas(slot, b, r):
+            c.wait()
 
-            @pl.when(jnp.logical_not(first))
-            def _():
-                dk_ref[t] = dk_ref[t] + contrib
+        acc = None
+        for dy in range(3):
+            rows = gs[slot, dy : dy + th]
+            for dx in range(3):
+                kv = k_ref[8 - (dy * 3 + dx)]  # (1, C)
+                term = _shift_sub(rows, dx - 1) * kv
+                acc = term if acc is None else acc + term
+        dx_ref[0] = acc
+
+        # dk: (0, 1) reduction leaves a (1, C) lane vector — accumulated into
+        # the single (9, 1, C) block, which every sequential grid step
+        # revisits.
+        g_c = gs[slot, 1 : 1 + th]
+        first = jnp.logical_and(b == 0, r == 0)
+        for dy in range(3):
+            x_rows = xs[slot, dy : dy + th]
+            for dx in range(3):
+                t = dy * 3 + dx
+                contrib = jnp.sum(
+                    _shift_sub(x_rows, dx - 1) * g_c, axis=(0, 1), keepdims=True
+                )[0]
+
+                @pl.when(first)
+                def _():
+                    dk_ref[t] = contrib
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    dk_ref[t] = dk_ref[t] + contrib
+
+    @pl.when(parity == 0)
+    def _():
+        process(0)
+
+    @pl.when(parity == 1)
+    def _():
+        process(1)
 
 
 def _dw_bwd_nhwc(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool):
@@ -355,9 +420,10 @@ def _dw_bwd_nhwc(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool):
             pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, W, C), xp.dtype),
-            pltpu.VMEM((th + 2, W, C), xp.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, W, C), xp.dtype),
+            pltpu.VMEM((2, th + 2, W, C), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, gp, k9)
 
@@ -468,9 +534,10 @@ def _merge_parities(ee, eo, oe, oo) -> jax.Array:
 
 
 def _tiles_s2(Ho: int, Wh: int, C: int, itemsize: int) -> int:
-    """Row-tile: the bwd kernel holds ~9 th·Wh·C slabs/blocks in VMEM."""
+    """Row-tile: the double-buffered bwd kernel holds ~14 th·Wh·C
+    slabs/blocks in VMEM — keep each in the few-hundred-KB range."""
     th = Ho
-    while th > 4 and th * Wh * C * itemsize > 512 * 1024:
+    while th > 4 and th * Wh * C * itemsize > 256 * 1024:
         th //= 2
     while Ho % th:
         th //= 2
@@ -479,31 +546,58 @@ def _tiles_s2(Ho: int, Wh: int, C: int, itemsize: int) -> int:
 
 def _fwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, k_ref, out_ref,
                    ees, eos, oes, oos, s0, s1, s2, s3, *, th: int, wh: int):
-    b = pl.program_id(0)
-    r = pl.program_id(1)
+    b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
-    copies = [
-        pltpu.make_async_copy(ee_h.at[b, pl.ds(r * th, th + 1), :, :], ees, s0),
-        pltpu.make_async_copy(eo_h.at[b, pl.ds(r * th, th + 1), :, :], eos, s1),
-        pltpu.make_async_copy(oe_h.at[b, pl.ds(r * th, th), :, :], oes, s2),
-        pltpu.make_async_copy(oo_h.at[b, pl.ds(r * th, th), :, :], oos, s3),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    def dmas(slot: int, bb, rr):
+        return (
+            pltpu.make_async_copy(
+                ee_h.at[bb, pl.ds(rr * th, th + 1), :, :], ees.at[slot], s0.at[slot]
+            ),
+            pltpu.make_async_copy(
+                eo_h.at[bb, pl.ds(rr * th, th + 1), :, :], eos.at[slot], s1.at[slot]
+            ),
+            pltpu.make_async_copy(
+                oe_h.at[bb, pl.ds(rr * th, th), :, :], oes.at[slot], s2.at[slot]
+            ),
+            pltpu.make_async_copy(
+                oo_h.at[bb, pl.ds(rr * th, th), :, :], oos.at[slot], s3.at[slot]
+            ),
+        )
 
-    out_ref[0] = (
-        k_ref[0] * ees[:th, :wh]
-        + k_ref[2] * ees[:th, 1:]
-        + k_ref[6] * ees[1:, :wh]
-        + k_ref[8] * ees[1:, 1:]
-        + k_ref[1] * eos[:th]
-        + k_ref[7] * eos[1:]
-        + k_ref[3] * oes[:, :wh]
-        + k_ref[5] * oes[:, 1:]
-        + k_ref[4] * oos[...]
-    )
+    @pl.when(step == 0)
+    def _():
+        for c in dmas(0, b, r):
+            c.start()
+
+    def process(slot: int):
+        @pl.when(not_last)
+        def _():
+            for c in dmas(1 - slot, bn, rn):
+                c.start()
+
+        for c in dmas(slot, b, r):
+            c.wait()
+
+        ee, eo, oe, oo = ees.at[slot], eos.at[slot], oes.at[slot], oos.at[slot]
+        out_ref[0] = (
+            k_ref[0] * ee[:th, :wh]
+            + k_ref[2] * ee[:th, 1:]
+            + k_ref[6] * ee[1:, :wh]
+            + k_ref[8] * ee[1:, 1:]
+            + k_ref[1] * eo[:th]
+            + k_ref[7] * eo[1:]
+            + k_ref[3] * oe[:, :wh]
+            + k_ref[5] * oe[:, 1:]
+            + k_ref[4] * oo[...]
+        )
+
+    @pl.when(parity == 0)
+    def _():
+        process(0)
+
+    @pl.when(parity == 1)
+    def _():
+        process(1)
 
 
 def _dw_fwd_s2(eep, eop, oep, oo, k9, interpret: bool):
@@ -526,14 +620,14 @@ def _dw_fwd_s2(eep, eop, oep, oo, k9, interpret: bool):
             (1, th, Wh, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 1, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((th + 1, Wh, C), eep.dtype),
-            pltpu.VMEM((th, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((th, Wh, C), eep.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 1, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((2, th + 1, Wh, C), eep.dtype),
+            pltpu.VMEM((2, th, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((2, th, Wh, C), eep.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(eep, eop, oep, oo, k9)
 
@@ -542,49 +636,81 @@ def _bwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, gp_h, k_ref,
                    dee_ref, deo_ref, doe_ref, doo_ref, dk_ref,
                    ees, eos, oes, oos, gps, s0, s1, s2, s3, s4,
                    *, th: int, wh: int):
-    b = pl.program_id(0)
-    r = pl.program_id(1)
+    b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
-    copies = [
-        pltpu.make_async_copy(ee_h.at[b, pl.ds(r * th, th + 1), :, :], ees, s0),
-        pltpu.make_async_copy(eo_h.at[b, pl.ds(r * th, th + 1), :, :], eos, s1),
-        pltpu.make_async_copy(oe_h.at[b, pl.ds(r * th, th), :, :], oes, s2),
-        pltpu.make_async_copy(oo_h.at[b, pl.ds(r * th, th), :, :], oos, s3),
-        pltpu.make_async_copy(gp_h.at[b, pl.ds(r * th, th + 1), :, :], gps, s4),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    def dmas(slot: int, bb, rr):
+        return (
+            pltpu.make_async_copy(
+                ee_h.at[bb, pl.ds(rr * th, th + 1), :, :], ees.at[slot], s0.at[slot]
+            ),
+            pltpu.make_async_copy(
+                eo_h.at[bb, pl.ds(rr * th, th + 1), :, :], eos.at[slot], s1.at[slot]
+            ),
+            pltpu.make_async_copy(
+                oe_h.at[bb, pl.ds(rr * th, th), :, :], oes.at[slot], s2.at[slot]
+            ),
+            pltpu.make_async_copy(
+                oo_h.at[bb, pl.ds(rr * th, th), :, :], oos.at[slot], s3.at[slot]
+            ),
+            pltpu.make_async_copy(
+                gp_h.at[bb, pl.ds(rr * th, th + 1), :, :], gps.at[slot], s4.at[slot]
+            ),
+        )
 
-    # g shifted reads from the top-left-padded cotangent slab.
-    g = gps[1:, 1:]
-    g_l = gps[1:, :wh]
-    g_u = gps[:th, 1:]
-    g_ul = gps[:th, :wh]
+    @pl.when(step == 0)
+    def _():
+        for c in dmas(0, b, r):
+            c.start()
 
-    dee_ref[0] = k_ref[0] * g + k_ref[2] * g_l + k_ref[6] * g_u + k_ref[8] * g_ul
-    deo_ref[0] = k_ref[1] * g + k_ref[7] * g_u
-    doe_ref[0] = k_ref[3] * g + k_ref[5] * g_l
-    doo_ref[0] = k_ref[4] * g
-
-    # dk: per-tap plane·g reductions, accumulated across the sequential grid.
-    first = jnp.logical_and(b == 0, r == 0)
-    taps = (
-        (0, ees[:th, :wh]), (1, eos[:th]), (2, ees[:th, 1:]),
-        (3, oes[:, :wh]), (4, oos[...]), (5, oes[:, 1:]),
-        (6, ees[1:, :wh]), (7, eos[1:]), (8, ees[1:, 1:]),
-    )
-    for t, plane in taps:
-        contrib = jnp.sum(plane * g, axis=(0, 1), keepdims=True)[0]
-
-        @pl.when(first)
+    def process(slot: int):
+        @pl.when(not_last)
         def _():
-            dk_ref[t] = contrib
+            for c in dmas(1 - slot, bn, rn):
+                c.start()
 
-        @pl.when(jnp.logical_not(first))
-        def _():
-            dk_ref[t] = dk_ref[t] + contrib
+        for c in dmas(slot, b, r):
+            c.wait()
+
+        ee, eo, oe, oo = ees.at[slot], eos.at[slot], oes.at[slot], oos.at[slot]
+        gp = gps.at[slot]
+        # g shifted reads from the top-left-padded cotangent slab.
+        g = gp[1:, 1:]
+        g_l = gp[1:, :wh]
+        g_u = gp[:th, 1:]
+        g_ul = gp[:th, :wh]
+
+        dee_ref[0] = (
+            k_ref[0] * g + k_ref[2] * g_l + k_ref[6] * g_u + k_ref[8] * g_ul
+        )
+        deo_ref[0] = k_ref[1] * g + k_ref[7] * g_u
+        doe_ref[0] = k_ref[3] * g + k_ref[5] * g_l
+        doo_ref[0] = k_ref[4] * g
+
+        # dk: per-tap plane·g reductions, accumulated across the grid.
+        first = jnp.logical_and(b == 0, r == 0)
+        taps = (
+            (0, ee[:th, :wh]), (1, eo[:th]), (2, ee[:th, 1:]),
+            (3, oe[:, :wh]), (4, oo[...]), (5, oe[:, 1:]),
+            (6, ee[1:, :wh]), (7, eo[1:]), (8, ee[1:, 1:]),
+        )
+        for t, plane in taps:
+            contrib = jnp.sum(plane * g, axis=(0, 1), keepdims=True)[0]
+
+            @pl.when(first)
+            def _():
+                dk_ref[t] = contrib
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dk_ref[t] = dk_ref[t] + contrib
+
+    @pl.when(parity == 0)
+    def _():
+        process(0)
+
+    @pl.when(parity == 1)
+    def _():
+        process(1)
 
 
 def _dw_bwd_s2(eep, eop, oep, oo, gp, k9, interpret: bool):
@@ -614,16 +740,16 @@ def _dw_bwd_s2(eep, eop, oep, oo, gp, k9, interpret: bool):
             pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 1, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((th + 1, Wh, C), eep.dtype),
-            pltpu.VMEM((th, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((th, Wh, C), eep.dtype),
-            pltpu.VMEM((th + 1, Wh + 1, C), eep.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 1, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((2, th + 1, Wh, C), eep.dtype),
+            pltpu.VMEM((2, th, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((2, th, Wh, C), eep.dtype),
+            pltpu.VMEM((2, th + 1, Wh + 1, C), eep.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(eep, eop, oep, oo, gp, k9)
 
