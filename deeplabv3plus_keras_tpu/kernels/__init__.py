@@ -4,6 +4,7 @@ from .depthwise3 import (
     depthwise3x3_s2,
     depthwise3x3_s2_reference,
     depthwise_conv,
+    depthwise_stencil,
     set_single_device_mesh,
 )
 from .upsample_argmax import upsample_argmax, upsample_argmax_reference
@@ -14,6 +15,7 @@ __all__ = [
     "depthwise3x3_s2",
     "depthwise3x3_s2_reference",
     "depthwise_conv",
+    "depthwise_stencil",
     "set_single_device_mesh",
     "upsample_argmax",
     "upsample_argmax_reference",

@@ -229,13 +229,16 @@ def _to_bhcw_padded(x_nhwc: jax.Array) -> jax.Array:
 
 
 def _shift_sub(x, d: int):
-    """Zero-edge shift by d ∈ {−1, 0, +1} along axis -2 (sublane/W axis)."""
+    """Zero-edge shift by any static d along axis -2 (sublane/W axis).
+
+    Result[w] = x[w + d] with zeros shifted in at the true image edge
+    (the conv's SAME zero padding)."""
     if d == 0:
         return x
-    z = jnp.zeros_like(x[..., :1, :])
-    if d == 1:
-        return jnp.concatenate([x[..., 1:, :], z], axis=-2)
-    return jnp.concatenate([z, x[..., :-1, :]], axis=-2)
+    z = jnp.zeros_like(x[..., : abs(d), :])
+    if d > 0:
+        return jnp.concatenate([x[..., d:, :], z], axis=-2)
+    return jnp.concatenate([z, x[..., :d, :]], axis=-2)
 
 
 def _pipeline_coords():
@@ -257,12 +260,14 @@ def _pipeline_coords():
     return b, r, step, parity, not_last, bn, rn
 
 
-def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem, *, th: int):
+def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem,
+                     *, th: int, k: int, dh: int, dw: int):
+    halo = (k - 1) * dh
     b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
     def dma(slot: int, bb, rr):
         return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(rr * th, th + 2), :, :],
+            x_hbm.at[bb, pl.ds(rr * th, th + halo), :, :],
             scratch.at[slot],
             sem.at[slot],
         )
@@ -278,11 +283,11 @@ def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem, *, th: int):
 
         dma(slot, b, r).wait()
         acc = None
-        for dy in range(3):
-            rows = scratch[slot, dy : dy + th]  # (th, W, C)
-            for dx in range(3):
-                kv = k_ref[dy * 3 + dx]  # (1, C): lane vector, no relayout
-                term = _shift_sub(rows, dx - 1) * kv
+        for iy in range(k):
+            rows = scratch[slot, iy * dh : iy * dh + th]  # (th, W, C)
+            for ix in range(k):
+                kv = k_ref[iy * k + ix]  # (1, C): lane vector, no relayout
+                term = _shift_sub(rows, (ix - k // 2) * dw) * kv
                 acc = term if acc is None else acc + term
         out_ref[0] = acc
 
@@ -295,51 +300,61 @@ def _fwd_kernel_nhwc(x_hbm, k_ref, out_ref, scratch, sem, *, th: int):
         process(1)
 
 
-def _tiles_nhwc(H: int, W: int, C: int, itemsize: int) -> int:
+def _tiles_nhwc(H: int, W: int, C: int, itemsize: int, halo: int) -> int:
     # ≤1 MB per slab: double-buffered inputs keep 2 slabs (+2 output
     # buffers) resident, so stay well inside VMEM.
     th = H
-    while th > 8 and (th + 2) * W * C * itemsize > 1024 * 1024:
+    while th > 8 and (th + halo) * W * C * itemsize > 1024 * 1024:
         th //= 2
     while H % th:
         th //= 2
     return max(th, 1)
 
 
-def _dw_fwd_nhwc(xp: jax.Array, k9: jax.Array, interpret: bool):
-    """Core stencil on the (B, H+2, W, C) zero-H-padded input."""
+def _dw_fwd_nhwc(xp: jax.Array, k9: jax.Array, k: int, dil, interpret: bool):
+    """Core stencil on the (B, H+halo, W, C) zero-H-padded input."""
+    dh, dw = dil
+    halo = (k - 1) * dh
     B, Hp, W, C = xp.shape
-    H = Hp - 2
-    th = _tiles_nhwc(H, W, C, xp.dtype.itemsize)
+    H = Hp - halo
+    th = _tiles_nhwc(H, W, C, xp.dtype.itemsize, halo)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_nhwc, th=th),
+        functools.partial(_fwd_kernel_nhwc, th=th, k=k, dh=dh, dw=dw),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), xp.dtype),
         grid=(B, H // th),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k * k, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, th, W, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, W, C), xp.dtype),
+            pltpu.VMEM((2, th + halo, W, C), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, k9)
 
 
-def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sx, sg, *, th: int):
+def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sx, sg,
+                     *, th: int, k: int, dh: int, dw: int):
+    halo = (k - 1) * dh
     b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
     def dmas(slot: int, bb, rr):
         return (
             pltpu.make_async_copy(
-                x_hbm.at[bb, pl.ds(rr * th, th + 2), :, :], xs.at[slot], sx.at[slot]
+                x_hbm.at[bb, pl.ds(rr * th, th + halo), :, :],
+                xs.at[slot],
+                sx.at[slot],
             ),
             pltpu.make_async_copy(
-                g_hbm.at[bb, pl.ds(rr * th, th + 2), :, :], gs.at[slot], sg.at[slot]
+                g_hbm.at[bb, pl.ds(rr * th, th + halo), :, :],
+                gs.at[slot],
+                sg.at[slot],
             ),
         )
 
@@ -357,26 +372,30 @@ def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sx, sg, *, th:
         for c in dmas(slot, b, r):
             c.wait()
 
+        # dx: correlation of g with the flipped taps == forward stencil
+        # with the tap table reversed (same dilation; symmetric pad).
         acc = None
-        for dy in range(3):
-            rows = gs[slot, dy : dy + th]
-            for dx in range(3):
-                kv = k_ref[8 - (dy * 3 + dx)]  # (1, C)
-                term = _shift_sub(rows, dx - 1) * kv
+        for iy in range(k):
+            rows = gs[slot, iy * dh : iy * dh + th]
+            for ix in range(k):
+                kv = k_ref[k * k - 1 - (iy * k + ix)]  # (1, C)
+                term = _shift_sub(rows, (ix - k // 2) * dw) * kv
                 acc = term if acc is None else acc + term
         dx_ref[0] = acc
 
         # dk: (0, 1) reduction leaves a (1, C) lane vector — accumulated into
-        # the single (9, 1, C) block, which every sequential grid step
+        # the single (k², 1, C) block, which every sequential grid step
         # revisits.
-        g_c = gs[slot, 1 : 1 + th]
+        g_c = gs[slot, halo // 2 : halo // 2 + th]
         first = jnp.logical_and(b == 0, r == 0)
-        for dy in range(3):
-            x_rows = xs[slot, dy : dy + th]
-            for dx in range(3):
-                t = dy * 3 + dx
+        for iy in range(k):
+            x_rows = xs[slot, iy * dh : iy * dh + th]
+            for ix in range(k):
+                t = iy * k + ix
                 contrib = jnp.sum(
-                    _shift_sub(x_rows, dx - 1) * g_c, axis=(0, 1), keepdims=True
+                    _shift_sub(x_rows, (ix - k // 2) * dw) * g_c,
+                    axis=(0, 1),
+                    keepdims=True,
                 )[0]
 
                 @pl.when(first)
@@ -396,40 +415,47 @@ def _bwd_kernel_nhwc(x_hbm, g_hbm, k_ref, dx_ref, dk_ref, xs, gs, sx, sg, *, th:
         process(1)
 
 
-def _dw_bwd_nhwc(xp: jax.Array, gp: jax.Array, k9: jax.Array, interpret: bool):
+def _dw_bwd_nhwc(xp: jax.Array, gp: jax.Array, k9: jax.Array, k: int, dil,
+                 interpret: bool):
+    dh, dw = dil
+    halo = (k - 1) * dh
     B, Hp, W, C = xp.shape
-    H = Hp - 2
-    th = _tiles_nhwc(H, W, C, xp.dtype.itemsize)
+    H = Hp - halo
+    th = _tiles_nhwc(H, W, C, xp.dtype.itemsize, halo)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_nhwc, th=th),
+        functools.partial(_bwd_kernel_nhwc, th=th, k=k, dh=dh, dw=dw),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, W, C), xp.dtype),
-            jax.ShapeDtypeStruct((9, 1, C), xp.dtype),
+            jax.ShapeDtypeStruct((k * k, 1, C), xp.dtype),
         ),
         grid=(B, H // th),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k * k, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
                 (1, th, W, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k * k, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, W, C), xp.dtype),
-            pltpu.VMEM((2, th + 2, W, C), xp.dtype),
+            pltpu.VMEM((2, th + halo, W, C), xp.dtype),
+            pltpu.VMEM((2, th + halo, W, C), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, gp, k9)
 
 
-def _pad_h(x_nhwc: jax.Array) -> jax.Array:
-    return jnp.pad(x_nhwc, ((0, 0), (1, 1), (0, 0), (0, 0)))
+def _pad_h(x_nhwc: jax.Array, ph: int = 1) -> jax.Array:
+    return jnp.pad(x_nhwc, ((0, 0), (ph, ph), (0, 0), (0, 0)))
 
 
 def _layout() -> str:
@@ -441,49 +467,64 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@jax.custom_vjp
-def depthwise3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise 3×3, stride 1, SAME, NHWC.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dw_s1(x: jax.Array, kernel: jax.Array, dil) -> jax.Array:
+    """Depthwise k×k (k odd), stride 1, dilation ``dil``, SAME, NHWC.
 
-    x: (B, H, W, C); kernel: (3, 3, 1, C) (the HWIO grouped-conv layout
+    x: (B, H, W, C); kernel: (k, k, 1, C) (the HWIO grouped-conv layout
     flax uses with ``feature_group_count=C``).  Matches
-    ``lax.conv_general_dilated(..., feature_group_count=C)`` — in fp32 it
+    ``lax.conv_general_dilated(..., rhs_dilation=dil)`` — in fp32 it
     is *more* accurate (true fp32 FMAs vs XLA's bf16×3 decomposition).
     """
+    k = kernel.shape[0]
     C = kernel.shape[-1]
-    if _layout() == "nhwc":
-        k9 = kernel.reshape(9, 1, C).astype(x.dtype)
-        return _dw_fwd_nhwc(_pad_h(x), k9, _interpret())
-    k9 = kernel.reshape(9, C, 1).astype(x.dtype)
-    out = _dw_fwd_padded(_to_bhcw_padded(x), k9, _interpret())
-    return jnp.transpose(out, (0, 1, 3, 2))
-
-
-def _vjp_fwd(x, kernel):
-    return depthwise3x3(x, kernel), (x, kernel)
-
-
-def _vjp_bwd(res, g):
-    x, kernel = res
-    C = kernel.shape[-1]
-    if _layout() == "nhwc":
-        k9 = kernel.reshape(9, 1, C).astype(x.dtype)
-        dx, dk9 = _dw_bwd_nhwc(
-            _pad_h(x), _pad_h(g.astype(x.dtype)), k9, _interpret()
-        )
-        return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
-    k9 = kernel.reshape(9, C, 1).astype(x.dtype)
-    dx, dk9 = _dw_bwd_padded(
-        _to_bhcw_padded(x),
-        _to_bhcw_padded(g.astype(x.dtype)),
-        k9,
-        _interpret(),
+    if k == 3 and dil == (1, 1) and _layout() == "bhcw":
+        k9 = kernel.reshape(9, C, 1).astype(x.dtype)
+        out = _dw_fwd_padded(_to_bhcw_padded(x), k9, _interpret())
+        return jnp.transpose(out, (0, 1, 3, 2))
+    kt = kernel.reshape(k * k, 1, C).astype(x.dtype)
+    return _dw_fwd_nhwc(
+        _pad_h(x, (k // 2) * dil[0]), kt, k, dil, _interpret()
     )
-    dx = jnp.transpose(dx, (0, 1, 3, 2))
-    return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
 
 
-depthwise3x3.defvjp(_vjp_fwd, _vjp_bwd)
+def _vjp_fwd(x, kernel, dil):
+    return _dw_s1(x, kernel, dil), (x, kernel)
+
+
+def _vjp_bwd(dil, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    C = kernel.shape[-1]
+    if k == 3 and dil == (1, 1) and _layout() == "bhcw":
+        k9 = kernel.reshape(9, C, 1).astype(x.dtype)
+        dx, dk9 = _dw_bwd_padded(
+            _to_bhcw_padded(x),
+            _to_bhcw_padded(g.astype(x.dtype)),
+            k9,
+            _interpret(),
+        )
+        dx = jnp.transpose(dx, (0, 1, 3, 2))
+        return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
+    ph = (k // 2) * dil[0]
+    kt = kernel.reshape(k * k, 1, C).astype(x.dtype)
+    dx, dkt = _dw_bwd_nhwc(
+        _pad_h(x, ph), _pad_h(g.astype(x.dtype), ph), kt, k, dil, _interpret()
+    )
+    return dx, dkt.reshape(kernel.shape).astype(kernel.dtype)
+
+
+_dw_s1.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def depthwise_stencil(x: jax.Array, kernel: jax.Array, dilation=(1, 1)) -> jax.Array:
+    """General stride-1 depthwise stencil (odd k, any dilation), NHWC."""
+    return _dw_s1(x, kernel, (int(dilation[0]), int(dilation[1])))
+
+
+def depthwise3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise 3×3, stride 1, dilation 1 — the flagship fast path."""
+    return _dw_s1(x, kernel, (1, 1))
 
 
 def depthwise3x3_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -861,24 +902,32 @@ def _pallas_wanted() -> bool:
 
 
 def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:
-    """Static trace-time eligibility for the Pallas stencil.
+    """Static trace-time eligibility for the stride-1 Pallas stencil.
 
     fp32 only: XLA lowers fp32 TPU convs as a ~3-pass bf16 decomposition,
     which for a near-zero-FLOP depthwise op is pure overhead (~10 ms of the
     94 ms flagship fp32 step); bf16 convs are already ~free (~0.5 ms
-    measured), so they stay on the MXU path.
+    measured), so they stay on the MXU path.  Covers odd k ∈ {3, 5, 7} and
+    any dilation whose W-shifts stay inside the image (the flagship's
+    dilated ASPP split-sep branches, EfficientNet k5, NASNet k5/7).
     """
     if len(x_shape) != 4 or x_dtype != jnp.float32:
         return False
-    if tuple(k_shape[:3]) != (3, 3, 1) or k_shape[3] != x_shape[3]:
+    k = k_shape[0]
+    if k not in (3, 5, 7) or tuple(k_shape[:3]) != (k, k, 1):
         return False
-    if tuple(strides) != (1, 1) or tuple(dilation) != (1, 1):
+    if k_shape[3] != x_shape[3]:
+        return False
+    if tuple(strides) != (1, 1):
         return False
     if padding != "SAME":
         return False
+    dh, dw = int(dilation[0]), int(dilation[1])
+    if dh < 1 or dw < 1:
+        return False
     B, H, W, C = x_shape
-    # C rides the 8-sublane axis; reject ragged channel counts (every
-    # MobileNetV2/Xception depthwise width is a multiple of 8).
+    if (k // 2) * dw >= W:
+        return False
     return C % 8 == 0 and H >= 4 and W >= 8
 
 
@@ -913,7 +962,7 @@ def depthwise_conv(
     if _pallas_wanted():
         args = (x.shape, x.dtype, kernel.shape, strides, dilation, padding)
         if pallas_eligible(*args):
-            return depthwise3x3(x, kernel)
+            return depthwise_stencil(x, kernel, dilation)
         if pallas_eligible_s2(*args):
             return depthwise3x3_s2(x, kernel)
     return jax.lax.conv_general_dilated(

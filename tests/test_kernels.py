@@ -139,10 +139,15 @@ def test_depthwise_conv_dispatcher_eligibility():
     # Each single disqualifier flips it off.
     assert not pallas_eligible((2, 64, 64, 96), bf16, (3, 3, 1, 96), (1, 1), (1, 1), "SAME")
     assert not pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (2, 2), (1, 1), "SAME")
-    assert not pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (2, 2), "SAME")
-    assert not pallas_eligible((2, 64, 64, 96), f32, (5, 5, 1, 96), (1, 1), (1, 1), "SAME")
+    assert not pallas_eligible((2, 64, 64, 96), f32, (4, 4, 1, 96), (1, 1), (1, 1), "SAME")
     assert not pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (1, 1), "VALID")
     assert not pallas_eligible((2, 64, 64, 21), f32, (3, 3, 1, 21), (1, 1), (1, 1), "SAME")
+    # Generalized coverage: odd k and dilation are eligible, but W-shifts
+    # must stay inside the image.
+    assert pallas_eligible((2, 64, 64, 96), f32, (3, 3, 1, 96), (1, 1), (2, 2), "SAME")
+    assert pallas_eligible((2, 64, 64, 96), f32, (5, 5, 1, 96), (1, 1), (1, 1), "SAME")
+    assert pallas_eligible((2, 32, 32, 96), f32, (3, 3, 1, 96), (1, 1), (18, 15), "SAME")
+    assert not pallas_eligible((2, 32, 32, 96), f32, (3, 3, 1, 96), (1, 1), (1, 32), "SAME")
 
 
 @pytest.mark.parametrize(
@@ -173,6 +178,51 @@ def test_depthwise_conv_env_off_is_pure_lax(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(depthwise_conv(x, k)),
         np.asarray(depthwise3x3_reference(x, k)),
+    )
+
+
+# Generalized stride-1 stencil: odd k and dilation (ASPP split-sep rates,
+# EfficientNet k5, NASNet k5/7).
+@pytest.mark.parametrize(
+    "k,dil,shape",
+    [
+        (3, (2, 2), (1, 12, 20, 16)),
+        (3, (18, 15), (1, 32, 32, 16)),  # flagship ASPP rate at os16
+        (3, (6, 3), (1, 32, 32, 8)),
+        (5, (1, 1), (2, 12, 16, 16)),
+        (7, (1, 1), (1, 16, 16, 8)),
+        (5, (2, 2), (1, 16, 24, 8)),
+    ],
+)
+def test_depthwise_stencil_general_matches_lax(rng, k, dil, shape):
+    import jax
+
+    from deeplabv3plus_keras_tpu.kernels import depthwise_stencil
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    kk = jnp.asarray(rng.normal(size=(k, k, 1, C)) * 0.2, jnp.float32)
+
+    def ref(x, kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1), "SAME", rhs_dilation=dil,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(depthwise_stencil(x, kk, dil)),
+        np.asarray(ref(x, kk)),
+        atol=3e-6,
+    )
+    gx_p, gk_p = jax.grad(
+        lambda x, kk: (depthwise_stencil(x, kk, dil) ** 2).sum(), (0, 1)
+    )(x, kk)
+    gx_l, gk_l = jax.grad(lambda x, kk: (ref(x, kk) ** 2).sum(), (0, 1))(x, kk)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_l), atol=1e-5)
+    scale = float(np.abs(np.asarray(gk_l)).max())
+    np.testing.assert_allclose(
+        np.asarray(gk_p) / scale, np.asarray(gk_l) / scale, atol=2e-6
     )
 
 
