@@ -316,6 +316,61 @@ def test_depthwise_dispatch_mesh_guard(monkeypatch):
         dw3.set_single_device_mesh(True)
 
 
+def test_flagship_train_grad_parity_pallas_vs_lax(rng, monkeypatch):
+    """Full flagship-model loss gradient with every eligible depthwise site
+    on the Pallas route (stride-1 + stride-2 stencils, forced interpret)
+    matches the lax route to the fp32 accumulation-chaos level (the same
+    2e-3-class bound as the fp32 trajectory-parity suite; near-zero BN-bias
+    leaves are compared absolutely)."""
+    import jax
+
+    from deeplabv3plus_keras_tpu.config import Config, MiddleOp
+    from deeplabv3plus_keras_tpu.models import init_model
+    from deeplabv3plus_keras_tpu.train.loss import SS_NW, SS_PW, class_balanced_loss
+
+    S = 96
+    conf = Config()
+    conf.base_model = "mobilenetv2"
+    conf.nn_arch.boundary_refinement = True
+    conf.nn_arch.image_size = S
+    conf.nn_arch.encoder_middle_conf = [
+        MiddleOp(op="conv", kernel=3, rate=(1, 1), input=-1),
+        MiddleOp(op="conv", kernel=1, rate=(1, 1), input=0),
+    ]
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, S, S, 3)), jnp.float32)
+    y = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, 21, (1, S, S))), 21, dtype=jnp.float32
+    )
+
+    def loss_fn(params):
+        probs, _ = model.apply(
+            {**variables, "params": params},
+            x,
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        return class_balanced_loss(y, probs, SS_PW, SS_NW)
+
+    params = variables["params"]
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "1")
+    l1, g1 = jax.value_and_grad(loss_fn)(params)
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "0")
+    l2, g2 = jax.value_and_grad(loss_fn)(params)
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    leaves1 = jax.tree_util.tree_leaves_with_path(g1)
+    leaves2 = jax.tree_util.tree_leaves_with_path(g2)
+    worst = 0.0
+    for (path, a), (_, b) in zip(leaves1, leaves2):
+        d = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max())
+        assert d <= max(3e-3 * scale, 5e-7), (jax.tree_util.keystr(path), d, scale)
+        worst = max(worst, d)
+    assert worst > 0.0  # exact equality would mean the Pallas route never ran
+
+
 def test_depthwise_module_param_tree_unchanged(rng):
     """DepthwiseConv must keep nn.Conv's exact param path + HWIO shape so
     checkpoints and the Keras weight converter are unaffected."""
