@@ -167,6 +167,45 @@ def main():
         flush=True,
     )
 
+    # Dilated ASPP branches (flagship encoder at 512² os16: 32², C96/C256,
+    # rates (18,15)/(6,3)/(6,21)) and one Xception middle-flow stage.
+    import functools
+
+    import jax.lax as lax
+
+    from deeplabv3plus_keras_tpu.kernels import depthwise_stencil
+
+    def dilated_ref(dil):
+        def f(x, k):
+            return lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", rhs_dilation=dil,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=x.shape[-1],
+            )
+        return f
+
+    extra = [
+        ((16, 32, 32, 96), (18, 15)),
+        ((16, 32, 32, 256), (6, 3)),
+        ((16, 32, 32, 256), (6, 21)),
+        ((16, 64, 64, 728), (1, 1)),  # Xception middle flow
+    ]
+    for shape, dil in extra:
+        B, H, W, C = shape
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, C)) * 0.2, jnp.float32)
+        pal = functools.partial(depthwise_stencil, dilation=dil)
+        ref = dilated_ref(dil)
+        agree = float(jnp.abs(pal(x, k) - ref(x, k)).max())
+        t_pb = bench_fwdbwd(pal, x, k)
+        t_rb = bench_fwdbwd(ref, x, k)
+        print(
+            f"dil={dil} {shape}: maxdiff={agree:.2e} fwd+bwd "
+            f"pallas={t_pb*1e3:.3f}ms lax={t_rb*1e3:.3f}ms "
+            f"({t_rb/t_pb:.2f}x) probe={probe()*1e3:.1f}ms",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
