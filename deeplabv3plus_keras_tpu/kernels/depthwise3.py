@@ -866,22 +866,54 @@ _viable: bool | None = None
 
 
 def _probe_viable() -> bool:
+    """Compile AND numerically check the stencils against lax on the live
+    backend; disable dispatch on any failure.  Catches both Mosaic
+    rejections and backend-specific miscompiles (e.g. if the sequential-
+    grid dk accumulation assumption ever broke, gradients would silently
+    corrupt training — so the probe compares values, not just liveness)."""
     global _viable
     if _viable is None:
         try:
-            x = jnp.zeros((1, 8, 16, 8), jnp.float32)
-            k = jnp.zeros((3, 3, 1, 8), jnp.float32)
-            for fn in (depthwise3x3, depthwise3x3_s2):
-                jax.block_until_ready(jax.jit(fn)(x, k))
-                g = jax.jit(jax.grad(lambda x, k, f=fn: (f(x, k) ** 2).sum(), (0, 1)))
-                jax.block_until_ready(g(x, k))
+            import numpy as np
+
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)), jnp.float32)
+
+            def check(fn, ref, kk):
+                k = jnp.asarray(rng.normal(size=(kk, kk, 1, 8)) * 0.2, jnp.float32)
+
+                def loss(f):
+                    return lambda x, k: (f(x, k) ** 2).sum()
+
+                y1 = jax.jit(fn)(x, k)
+                y2 = jax.jit(ref)(x, k)
+                gx1, gk1 = jax.jit(jax.grad(loss(fn), (0, 1)))(x, k)
+                gx2, gk2 = jax.jit(jax.grad(loss(ref), (0, 1)))(x, k)
+                for a, b in ((y1, y2), (gx1, gx2), (gk1, gk2)):
+                    err = float(jnp.abs(a - b).max())
+                    scale = float(jnp.abs(b).max()) + 1e-12
+                    if not err <= 1e-3 * scale:
+                        raise ValueError(
+                            f"stencil/lax mismatch: {err} vs scale {scale}"
+                        )
+
+            def ref_s1(x, k):
+                return jax.lax.conv_general_dilated(
+                    x, k, (1, 1), "SAME", rhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=x.shape[-1],
+                )
+
+            check(depthwise3x3, depthwise3x3_reference, 3)
+            check(lambda x, k: depthwise_stencil(x, k, (2, 2)), ref_s1, 3)
+            check(depthwise3x3_s2, depthwise3x3_s2_reference, 3)
             _viable = True
         except Exception as e:  # pragma: no cover - backend-specific
             import warnings
 
             warnings.warn(
-                f"Pallas depthwise stencil failed its probe compile; "
-                f"falling back to lax convs: {e!r}"
+                f"Pallas depthwise stencil failed its probe (compile or "
+                f"numerics); falling back to lax convs: {e!r}"
             )
             _viable = False
     return _viable

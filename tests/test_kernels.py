@@ -371,6 +371,24 @@ def test_flagship_train_grad_parity_pallas_vs_lax(rng, monkeypatch):
     assert worst > 0.0  # exact equality would mean the Pallas route never ran
 
 
+def test_depthwise_probe_checks_numerics(monkeypatch):
+    """The auto-dispatch probe must pass on a healthy backend AND detect a
+    numerically-corrupt stencil (miscompile guard), falling back to lax."""
+    import warnings
+
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+
+    monkeypatch.setattr(dw3, "_viable", None)
+    assert dw3._probe_viable() is True
+
+    monkeypatch.setattr(dw3, "_viable", None)
+    orig = dw3.depthwise3x3
+    monkeypatch.setattr(dw3, "depthwise3x3", lambda x, k: orig(x, k) * 1.01)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert dw3._probe_viable() is False
+
+
 def test_depthwise_module_param_tree_unchanged(rng):
     """DepthwiseConv must keep nn.Conv's exact param path + HWIO shape so
     checkpoints and the Keras weight converter are unaffected."""
