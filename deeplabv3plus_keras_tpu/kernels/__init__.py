@@ -5,6 +5,7 @@ from .depthwise3 import (
     depthwise3x3_s2_reference,
     depthwise_conv,
     depthwise_stencil,
+    depthwise_stencil_s2,
     set_single_device_mesh,
 )
 from .upsample_argmax import upsample_argmax, upsample_argmax_reference
@@ -16,6 +17,7 @@ __all__ = [
     "depthwise3x3_s2_reference",
     "depthwise_conv",
     "depthwise_stencil",
+    "depthwise_stencil_s2",
     "set_single_device_mesh",
     "upsample_argmax",
     "upsample_argmax_reference",

@@ -542,20 +542,58 @@ def depthwise3x3_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Stride-2 variant via polyphase (parity-plane) decomposition.
 #
-# SAME stride-2 with k=3 on even H/W pads (0, 1) per spatial dim, so
-# out[i,j] = Σ_{dy,dx} x[2i+dy, 2j+dx]·k[dy,dx].  Split x into the four
-# parity planes p_pq[i,j] = x[2i+p, 2j+q] (each (H/2, W/2)); each tap then
-# reads one plane at row/col offset ∈ {0, +1}:
-#
-#   out = k00·ee + k01·eo + k02·ee→ + k10·oe + k11·oo + k12·oe→
-#       + k20·ee↓ + k21·eo↓ + k22·ee↓→
-#
-# (→/↓ = shift by one plane cell, zeros at the bottom/right edge — exactly
-# the conv's asymmetric SAME padding.)  The split/merge interleaves are
-# cheap XLA gathers outside the kernel; inside, everything is the same
-# NHWC shift-and-FMA machinery as the stride-1 stencil.  Covers the
-# remaining flagship depthwise sites (256²C96, 128²C144, 64²C192).
+# SAME stride-2 with odd k on even H/W pads lo=(k-2)//2 before and
+# k-2-lo after per spatial dim, so out[i,j] = Σ_{dy,dx}
+# x[2i+dy-lo, 2j+dx-lo]·k[dy,dx].  Split x into the four parity planes
+# P_pq[i,j] = x[2i+p, 2j+q] (each (H/2, W/2)); tap d then reads plane
+# parity (d-lo)%2 at offset (d-lo)//2 ∈ [omin_p, omax_p] — e.g. k=3
+# (lo=0): E offsets {0,+1}, O {0}; k=5 (lo=1): E {0,+1}, O {−1,0,+1}.
+# Planes are zero-padded by (−omin, omax) per axis (exactly the conv's
+# asymmetric SAME padding), making every tap a static 2-D slice of a
+# halo slab.  The split/merge interleaves are cheap XLA gathers outside
+# the kernel; inside, everything is the same NHWC shift-and-FMA
+# machinery as the stride-1 stencil.  Covers the remaining flagship
+# depthwise sites (256²C96, 128²C144, 64²C192 at k=3) plus EfficientNet
+# k5-s2 and NASNet k5/k7-s2 reduction stages.
 # ---------------------------------------------------------------------------
+
+
+def _s2_geometry(k: int):
+    """Static tap geometry for the stride-2 polyphase stencil (odd k).
+
+    Returns (span, taps, gpad, gtaps):
+      span[p]  — omax_p − omin_p, the extra halo rows/cols of parity-p
+                 planes (plane pads: top/left −omin_p, bottom/right omax_p);
+      taps     — ((t, py, px, ry, rx), …): forward tap t reads plane
+                 (py, px) slab at static offset (ry, rx);
+      gpad     — (gt, gb): cotangent slab pad (top/left, bottom/right);
+      gtaps[p] — ((t_or_d, gr), …) per output-plane parity p: backward
+                 tap d reads the g slab at row offset gr = gt − odx.
+    """
+    lo = (k - 2) // 2
+    par = [(d - lo) % 2 for d in range(k)]
+    off = [(d - lo) // 2 for d in range(k)]
+    omin = {p: min(off[d] for d in range(k) if par[d] == p) for p in (0, 1)}
+    omax = {p: max(off[d] for d in range(k) if par[d] == p) for p in (0, 1)}
+    span = (omax[0] - omin[0], omax[1] - omin[1])
+    taps = tuple(
+        (dy * k + dx, par[dy], par[dx],
+         off[dy] - omin[par[dy]], off[dx] - omin[par[dx]])
+        for dy in range(k)
+        for dx in range(k)
+    )
+    # Backward: dx-plane parity p gets k[d]·g[m − odx] for taps d with
+    # (d − lo − p) even, odx = (d − lo − p)//2.
+    odxs = {
+        p: {d: (d - lo - p) // 2 for d in range(k) if (d - lo - p) % 2 == 0}
+        for p in (0, 1)
+    }
+    gt = max(o for m in odxs.values() for o in m.values())
+    gb = max(-o for m in odxs.values() for o in m.values())
+    gtaps = {
+        p: tuple((d, gt - o) for d, o in odxs[p].items()) for p in (0, 1)
+    }
+    return span, taps, (gt, gb), (gtaps[0], gtaps[1])
 
 
 def _split_parities(x: jax.Array):
@@ -586,23 +624,24 @@ def _tiles_s2(Ho: int, Wh: int, C: int, itemsize: int) -> int:
 
 
 def _fwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, k_ref, out_ref,
-                   ees, eos, oes, oos, s0, s1, s2, s3, *, th: int, wh: int):
+                   ees, eos, oes, oos, s0, s1, s2, s3,
+                   *, th: int, wh: int, span, taps):
     b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
     def dmas(slot: int, bb, rr):
-        return (
+        refs = (ees, eos, oes, oos)
+        sems = (s0, s1, s2, s3)
+        spans = (
+            (span[0], span[0]), (span[0], span[1]),
+            (span[1], span[0]), (span[1], span[1]),
+        )
+        return tuple(
             pltpu.make_async_copy(
-                ee_h.at[bb, pl.ds(rr * th, th + 1), :, :], ees.at[slot], s0.at[slot]
-            ),
-            pltpu.make_async_copy(
-                eo_h.at[bb, pl.ds(rr * th, th + 1), :, :], eos.at[slot], s1.at[slot]
-            ),
-            pltpu.make_async_copy(
-                oe_h.at[bb, pl.ds(rr * th, th), :, :], oes.at[slot], s2.at[slot]
-            ),
-            pltpu.make_async_copy(
-                oo_h.at[bb, pl.ds(rr * th, th), :, :], oos.at[slot], s3.at[slot]
-            ),
+                h.at[bb, pl.ds(rr * th, th + sy), :, :], ref.at[slot], sem.at[slot]
+            )
+            for h, ref, sem, (sy, _) in zip(
+                (ee_h, eo_h, oe_h, oo_h), refs, sems, spans
+            )
         )
 
     @pl.when(step == 0)
@@ -619,18 +658,15 @@ def _fwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, k_ref, out_ref,
         for c in dmas(slot, b, r):
             c.wait()
 
-        ee, eo, oe, oo = ees.at[slot], eos.at[slot], oes.at[slot], oos.at[slot]
-        out_ref[0] = (
-            k_ref[0] * ee[:th, :wh]
-            + k_ref[2] * ee[:th, 1:]
-            + k_ref[6] * ee[1:, :wh]
-            + k_ref[8] * ee[1:, 1:]
-            + k_ref[1] * eo[:th]
-            + k_ref[7] * eo[1:]
-            + k_ref[3] * oe[:, :wh]
-            + k_ref[5] * oe[:, 1:]
-            + k_ref[4] * oo[...]
-        )
+        planes = {
+            (0, 0): ees.at[slot], (0, 1): eos.at[slot],
+            (1, 0): oes.at[slot], (1, 1): oos.at[slot],
+        }
+        acc = None
+        for t, py, px, ry, rx in taps:
+            term = k_ref[t] * planes[(py, px)][ry : ry + th, rx : rx + wh]
+            acc = term if acc is None else acc + term
+        out_ref[0] = acc
 
     @pl.when(parity == 0)
     def _():
@@ -641,12 +677,13 @@ def _fwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, k_ref, out_ref,
         process(1)
 
 
-def _dw_fwd_s2(eep, eop, oep, oo, k9, interpret: bool):
-    B, Hop, Whp, C = eep.shape  # (B, Ho+1, Wh+1, C)
-    Ho, Wh = Hop - 1, Whp - 1
+def _dw_fwd_s2(eep, eop, oep, oop, k9, k: int, interpret: bool):
+    span, taps, _, _ = _s2_geometry(k)
+    B, Hop, Whp, C = eep.shape  # (B, Ho+span0, Wh+span0, C)
+    Ho, Wh = Hop - span[0], Whp - span[0]
     th = _tiles_s2(Ho, Wh, C, eep.dtype.itemsize)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_s2, th=th, wh=Wh),
+        functools.partial(_fwd_kernel_s2, th=th, wh=Wh, span=span, taps=taps),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wh, C), eep.dtype),
         grid=(B, Ho // th),
         interpret=interpret,
@@ -655,47 +692,44 @@ def _dw_fwd_s2(eep, eop, oep, oo, k9, interpret: bool):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k * k, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, th, Wh, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 1, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((2, th + 1, Wh, C), eep.dtype),
-            pltpu.VMEM((2, th, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((2, th, Wh, C), eep.dtype),
+            pltpu.VMEM((2, th + span[0], Wh + span[0], C), eep.dtype),
+            pltpu.VMEM((2, th + span[0], Wh + span[1], C), eep.dtype),
+            pltpu.VMEM((2, th + span[1], Wh + span[0], C), eep.dtype),
+            pltpu.VMEM((2, th + span[1], Wh + span[1], C), eep.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(eep, eop, oep, oo, k9)
+    )(eep, eop, oep, oop, k9)
 
 
 def _bwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, gp_h, k_ref,
                    dee_ref, deo_ref, doe_ref, doo_ref, dk_ref,
                    ees, eos, oes, oos, gps, s0, s1, s2, s3, s4,
-                   *, th: int, wh: int):
+                   *, th: int, wh: int, k: int, span, taps, gpad, gtaps):
+    gt, gb = gpad
+    gspan = gt + gb
     b, r, step, parity, not_last, bn, rn = _pipeline_coords()
 
     def dmas(slot: int, bb, rr):
-        return (
+        srcs = (ee_h, eo_h, oe_h, oo_h, gp_h)
+        refs = (ees, eos, oes, oos, gps)
+        sems = (s0, s1, s2, s3, s4)
+        rows = (span[0], span[0], span[1], span[1], gspan)
+        return tuple(
             pltpu.make_async_copy(
-                ee_h.at[bb, pl.ds(rr * th, th + 1), :, :], ees.at[slot], s0.at[slot]
-            ),
-            pltpu.make_async_copy(
-                eo_h.at[bb, pl.ds(rr * th, th + 1), :, :], eos.at[slot], s1.at[slot]
-            ),
-            pltpu.make_async_copy(
-                oe_h.at[bb, pl.ds(rr * th, th), :, :], oes.at[slot], s2.at[slot]
-            ),
-            pltpu.make_async_copy(
-                oo_h.at[bb, pl.ds(rr * th, th), :, :], oos.at[slot], s3.at[slot]
-            ),
-            pltpu.make_async_copy(
-                gp_h.at[bb, pl.ds(rr * th, th + 1), :, :], gps.at[slot], s4.at[slot]
-            ),
+                h.at[bb, pl.ds(rr * th, th + sy), :, :], ref.at[slot], sem.at[slot]
+            )
+            for h, ref, sem, sy in zip(srcs, refs, sems, rows)
         )
 
     @pl.when(step == 0)
@@ -712,30 +746,33 @@ def _bwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, gp_h, k_ref,
         for c in dmas(slot, b, r):
             c.wait()
 
-        ee, eo, oe, oo = ees.at[slot], eos.at[slot], oes.at[slot], oos.at[slot]
+        planes = {
+            (0, 0): ees.at[slot], (0, 1): eos.at[slot],
+            (1, 0): oes.at[slot], (1, 1): oos.at[slot],
+        }
         gp = gps.at[slot]
-        # g shifted reads from the top-left-padded cotangent slab.
-        g = gp[1:, 1:]
-        g_l = gp[1:, :wh]
-        g_u = gp[:th, 1:]
-        g_ul = gp[:th, :wh]
 
-        dee_ref[0] = (
-            k_ref[0] * g + k_ref[2] * g_l + k_ref[6] * g_u + k_ref[8] * g_ul
-        )
-        deo_ref[0] = k_ref[1] * g + k_ref[7] * g_u
-        doe_ref[0] = k_ref[3] * g + k_ref[5] * g_l
-        doo_ref[0] = k_ref[4] * g
+        # dx parity planes: dx_pq[m,n] = Σ k[dy,dx]·g[m−odx(dy,p), n−odx(dx,q)],
+        # read as static slices of the (gt, gb)-padded cotangent slab.
+        outs = {(0, 0): dee_ref, (0, 1): deo_ref, (1, 0): doe_ref, (1, 1): doo_ref}
+        for p in (0, 1):
+            for q in (0, 1):
+                acc = None
+                for dy, gry in gtaps[p]:
+                    for dx, grx in gtaps[q]:
+                        term = k_ref[dy * k + dx] * gp[
+                            gry : gry + th, grx : grx + wh
+                        ]
+                        acc = term if acc is None else acc + term
+                outs[(p, q)][0] = acc
 
-        # dk: per-tap plane·g reductions, accumulated across the grid.
+        # dk: per-tap plane·g reductions (same plane reads as the forward),
+        # accumulated across the sequential grid.
+        g_c = gp[gt : gt + th, gt : gt + wh]
         first = jnp.logical_and(b == 0, r == 0)
-        taps = (
-            (0, ee[:th, :wh]), (1, eo[:th]), (2, ee[:th, 1:]),
-            (3, oe[:, :wh]), (4, oo[...]), (5, oe[:, 1:]),
-            (6, ee[1:, :wh]), (7, eo[1:]), (8, ee[1:, 1:]),
-        )
-        for t, plane in taps:
-            contrib = jnp.sum(plane * g, axis=(0, 1), keepdims=True)[0]
+        for t, py, px, ry, rx in taps:
+            plane = planes[(py, px)][ry : ry + th, rx : rx + wh]
+            contrib = jnp.sum(plane * g_c, axis=(0, 1), keepdims=True)[0]
 
             @pl.when(first)
             def _():
@@ -754,18 +791,23 @@ def _bwd_kernel_s2(ee_h, eo_h, oe_h, oo_h, gp_h, k_ref,
         process(1)
 
 
-def _dw_bwd_s2(eep, eop, oep, oo, gp, k9, interpret: bool):
+def _dw_bwd_s2(eep, eop, oep, oop, gp, k9, k: int, interpret: bool):
+    span, taps, gpad, gtaps = _s2_geometry(k)
     B, Hop, Whp, C = eep.shape
-    Ho, Wh = Hop - 1, Whp - 1
+    Ho, Wh = Hop - span[0], Whp - span[0]
     th = _tiles_s2(Ho, Wh, C, eep.dtype.itemsize)
     plane = jax.ShapeDtypeStruct((B, Ho, Wh, C), eep.dtype)
     blk = pl.BlockSpec(
         (1, th, Wh, C), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
     )
+    gspan = gpad[0] + gpad[1]
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_s2, th=th, wh=Wh),
+        functools.partial(
+            _bwd_kernel_s2, th=th, wh=Wh, k=k, span=span, taps=taps,
+            gpad=gpad, gtaps=gtaps,
+        ),
         out_shape=(plane, plane, plane, plane,
-                   jax.ShapeDtypeStruct((9, 1, C), eep.dtype)),
+                   jax.ShapeDtypeStruct((k * k, 1, C), eep.dtype)),
         grid=(B, Ho // th),
         interpret=interpret,
         in_specs=[
@@ -774,59 +816,92 @@ def _dw_bwd_s2(eep, eop, oep, oo, gp, k9, interpret: bool):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k * k, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
             blk, blk, blk, blk,
-            pl.BlockSpec((9, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k * k, 1, C), lambda b, r: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 1, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((2, th + 1, Wh, C), eep.dtype),
-            pltpu.VMEM((2, th, Wh + 1, C), eep.dtype),
-            pltpu.VMEM((2, th, Wh, C), eep.dtype),
-            pltpu.VMEM((2, th + 1, Wh + 1, C), eep.dtype),
+            pltpu.VMEM((2, th + span[0], Wh + span[0], C), eep.dtype),
+            pltpu.VMEM((2, th + span[0], Wh + span[1], C), eep.dtype),
+            pltpu.VMEM((2, th + span[1], Wh + span[0], C), eep.dtype),
+            pltpu.VMEM((2, th + span[1], Wh + span[1], C), eep.dtype),
+            pltpu.VMEM((2, th + gspan, Wh + gspan, C), eep.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(eep, eop, oep, oo, gp, k9)
+    )(eep, eop, oep, oop, gp, k9)
 
 
-def _padded_planes(x: jax.Array):
-    """Parity planes padded for the {0, +1} shifts (zeros bottom/right)."""
+def _padded_planes(x: jax.Array, k: int):
+    """Parity planes zero-padded by (−omin, omax) per axis (= the conv's
+    asymmetric SAME padding in plane coordinates)."""
+    span, _, _, _ = _s2_geometry(k)
+    # omin = span - omax; for all supported k, omax = 1 and omin = 1 - span
+    # per parity — derive pads directly from the offset sets.
+    lo = (k - 2) // 2
+    par = [(d - lo) % 2 for d in range(k)]
+    off = [(d - lo) // 2 for d in range(k)]
+    pads = {}
+    for p in (0, 1):
+        os_ = [off[d] for d in range(k) if par[d] == p]
+        pads[p] = (-min(os_), max(os_))
     ee, eo, oe, oo = _split_parities(x)
-    eep = jnp.pad(ee, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    eop = jnp.pad(eo, ((0, 0), (0, 1), (0, 0), (0, 0)))
-    oep = jnp.pad(oe, ((0, 0), (0, 0), (0, 1), (0, 0)))
-    return eep, eop, oep, oo
+    out = []
+    for plane, (py, px) in zip(
+        (ee, eo, oe, oo), ((0, 0), (0, 1), (1, 0), (1, 1))
+    ):
+        out.append(
+            jnp.pad(plane, ((0, 0), pads[py], pads[px], (0, 0)))
+        )
+    return tuple(out)
 
 
-@jax.custom_vjp
-def depthwise3x3_s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise 3×3, stride 2, SAME (even H/W), NHWC — polyphase Pallas."""
-    k9 = kernel.reshape(9, 1, kernel.shape[-1]).astype(x.dtype)
-    eep, eop, oep, oo = _padded_planes(x)
-    return _dw_fwd_s2(eep, eop, oep, oo, k9, _interpret())
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dw_s2(x: jax.Array, kernel: jax.Array, k: int) -> jax.Array:
+    """Depthwise k×k (k odd), stride 2, SAME (even H/W), NHWC — polyphase."""
+    kt = kernel.reshape(k * k, 1, kernel.shape[-1]).astype(x.dtype)
+    eep, eop, oep, oop = _padded_planes(x, k)
+    return _dw_fwd_s2(eep, eop, oep, oop, kt, k, _interpret())
 
 
-def _vjp_fwd_s2(x, kernel):
-    return depthwise3x3_s2(x, kernel), (x, kernel)
+def _vjp_fwd_s2(x, kernel, k):
+    return _dw_s2(x, kernel, k), (x, kernel)
 
 
-def _vjp_bwd_s2(res, g):
+def _vjp_bwd_s2(k, res, g):
     x, kernel = res
-    k9 = kernel.reshape(9, 1, kernel.shape[-1]).astype(x.dtype)
-    eep, eop, oep, oo = _padded_planes(x)
-    gp = jnp.pad(g.astype(x.dtype), ((0, 0), (1, 0), (1, 0), (0, 0)))
-    dee, deo, doe, doo, dk9 = _dw_bwd_s2(eep, eop, oep, oo, gp, k9, _interpret())
+    kt = kernel.reshape(k * k, 1, kernel.shape[-1]).astype(x.dtype)
+    eep, eop, oep, oop = _padded_planes(x, k)
+    _, _, gpad, _ = _s2_geometry(k)
+    gp = jnp.pad(
+        g.astype(x.dtype),
+        ((0, 0), (gpad[0], gpad[1]), (gpad[0], gpad[1]), (0, 0)),
+    )
+    dee, deo, doe, doo, dkt = _dw_bwd_s2(eep, eop, oep, oop, gp, kt, k, _interpret())
     dx = _merge_parities(dee, deo, doe, doo)
-    return dx, dk9.reshape(kernel.shape).astype(kernel.dtype)
+    return dx, dkt.reshape(kernel.shape).astype(kernel.dtype)
 
 
-depthwise3x3_s2.defvjp(_vjp_fwd_s2, _vjp_bwd_s2)
+_dw_s2.defvjp(_vjp_fwd_s2, _vjp_bwd_s2)
+
+
+def depthwise_stencil_s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """General stride-2 polyphase stencil (odd k from kernel shape)."""
+    return _dw_s2(x, kernel, int(kernel.shape[0]))
+
+
+def depthwise3x3_s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise 3×3, stride 2 — the flagship fast path."""
+    return _dw_s2(x, kernel, 3)
 
 
 def depthwise3x3_s2_reference(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -964,10 +1039,13 @@ def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bo
 
 
 def pallas_eligible_s2(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:
-    """Eligibility for the stride-2 polyphase stencil (even H/W only)."""
+    """Eligibility for the stride-2 polyphase stencil (odd k, even H/W)."""
     if len(x_shape) != 4 or x_dtype != jnp.float32:
         return False
-    if tuple(k_shape[:3]) != (3, 3, 1) or k_shape[3] != x_shape[3]:
+    k = k_shape[0]
+    if k not in (3, 5, 7) or tuple(k_shape[:3]) != (k, k, 1):
+        return False
+    if k_shape[3] != x_shape[3]:
         return False
     if tuple(strides) != (2, 2) or tuple(dilation) != (1, 1):
         return False
@@ -996,7 +1074,7 @@ def depthwise_conv(
         if pallas_eligible(*args):
             return depthwise_stencil(x, kernel, dilation)
         if pallas_eligible_s2(*args):
-            return depthwise3x3_s2(x, kernel)
+            return depthwise_stencil_s2(x, kernel)
     return jax.lax.conv_general_dilated(
         x,
         kernel,

@@ -230,6 +230,43 @@ def test_depthwise_stencil_general_matches_lax(rng, k, dil, shape):
 _DW_S2_GEOMS = [(2, 16, 32, 16), (1, 8, 16, 8), (2, 12, 20, 144), (1, 24, 16, 32)]
 
 
+@pytest.mark.parametrize(
+    "k,shape",
+    [(5, (2, 16, 32, 16)), (5, (1, 10, 18, 24)), (7, (1, 16, 32, 16)),
+     (7, (2, 24, 16, 8))],
+)
+def test_depthwise_stencil_s2_general_matches_lax(rng, k, shape):
+    """General odd-k stride-2 polyphase (EfficientNet k5-s2, NASNet k5/k7-s2):
+    asymmetric SAME padding (lo=(k-2)//2) → negative plane offsets."""
+    import jax
+
+    from deeplabv3plus_keras_tpu.kernels import depthwise_stencil_s2
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    kk = jnp.asarray(rng.normal(size=(k, k, 1, C)) * 0.2, jnp.float32)
+
+    def ref(x, kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(depthwise_stencil_s2(x, kk)), np.asarray(ref(x, kk)), atol=5e-6
+    )
+    gx_p, gk_p = jax.grad(
+        lambda x, kk: (depthwise_stencil_s2(x, kk) ** 2).sum(), (0, 1)
+    )(x, kk)
+    gx_l, gk_l = jax.grad(lambda x, kk: (ref(x, kk) ** 2).sum(), (0, 1))(x, kk)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_l), atol=1e-5)
+    scale = float(np.abs(np.asarray(gk_l)).max())
+    np.testing.assert_allclose(
+        np.asarray(gk_p) / scale, np.asarray(gk_l) / scale, atol=2e-6
+    )
+
+
 @pytest.mark.parametrize("shape", _DW_S2_GEOMS)
 def test_depthwise3_s2_forward_matches_lax(rng, shape):
     B, H, W, C = shape
