@@ -979,9 +979,20 @@ def _probe_viable() -> bool:
                     feature_group_count=x.shape[-1],
                 )
 
+            def ref_k(strides):
+                def f(x, k):
+                    return jax.lax.conv_general_dilated(
+                        x, k, strides, "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        feature_group_count=x.shape[-1],
+                    )
+                return f
+
             check(depthwise3x3, depthwise3x3_reference, 3)
             check(lambda x, k: depthwise_stencil(x, k, (2, 2)), ref_s1, 3)
             check(depthwise3x3_s2, depthwise3x3_s2_reference, 3)
+            check(depthwise_stencil, ref_k((1, 1)), 5)
+            check(depthwise_stencil_s2, ref_k((2, 2)), 5)
             _viable = True
         except Exception as e:  # pragma: no cover - backend-specific
             import warnings
