@@ -408,6 +408,44 @@ def test_flagship_train_grad_parity_pallas_vs_lax(rng, monkeypatch):
     assert worst > 0.0  # exact equality would mean the Pallas route never ran
 
 
+def test_model_sites_engage_pallas_routes(rng, monkeypatch):
+    """The real model blocks must actually reach the stencils: InvertedResidual
+    stride-1/2 and the dilated ASPP split-sep block each dispatch to the
+    Pallas route (guards against wiring regressions that silently fall back
+    to lax everywhere)."""
+    import jax
+
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+    from deeplabv3plus_keras_tpu.models.backbones.mobilenetv2 import InvertedResidual
+    from deeplabv3plus_keras_tpu.models.blocks import SplitSepConvBlock
+
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "1")
+    calls = []
+    orig_s1, orig_s2 = dw3.depthwise_stencil, dw3.depthwise_stencil_s2
+    monkeypatch.setattr(
+        dw3, "depthwise_stencil",
+        lambda x, k, dilation=(1, 1): (calls.append(("s1", dilation)), orig_s1(x, k, dilation))[1],
+    )
+    monkeypatch.setattr(
+        dw3, "depthwise_stencil_s2",
+        lambda x, k: (calls.append(("s2", None)), orig_s2(x, k))[1],
+    )
+
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)), jnp.float32)
+    for m in (InvertedResidual(8, strides=1, expand_ratio=1),
+              InvertedResidual(8, strides=2, expand_ratio=1)):
+        v = m.init(jax.random.PRNGKey(0), x, False)
+        m.apply(v, x, False)
+    sep = SplitSepConvBlock(8, kernel=3, dilation=(3, 2), bn_momentum=0.99,
+                            bn_scale=True)
+    v = sep.init(jax.random.PRNGKey(0), x, False)
+    sep.apply(v, x, False)
+
+    kinds = [c[0] for c in calls]
+    assert "s1" in kinds and "s2" in kinds
+    assert ("s1", (3, 2)) in calls  # the dilated ASPP-style site
+
+
 def test_depthwise_probe_checks_numerics(monkeypatch):
     """The auto-dispatch probe must pass on a healthy backend AND detect a
     numerically-corrupt stencil (miscompile guard), falling back to lax."""
