@@ -262,10 +262,20 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "dtype": dtype,
             "device": str(jax.devices()[0]),
             "tunnel_probe_ms": probe_ms,
+            # Whether the depthwise Pallas stencils were live for the fp32
+            # numbers above (auto dispatch: TPU + 1-device mesh + numeric
+            # probe) — essential context for interpreting regressions.
+            "pallas_depthwise": _pallas_depthwise_active(),
             **mfu,
             **extra,
         },
     }
+
+
+def _pallas_depthwise_active() -> bool:
+    from deeplabv3plus_keras_tpu.kernels.depthwise3 import _pallas_wanted
+
+    return bool(_pallas_wanted())
 
 
 if __name__ == "__main__":
