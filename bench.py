@@ -278,11 +278,73 @@ def _pallas_depthwise_active() -> bool:
     return bool(_pallas_wanted())
 
 
+def _wait_for_backend(attempts: int = 10, probe_timeout_s: int = 120, retry_sleep_s: int = 120) -> None:
+    """Bounded wait for the accelerator backend before committing to run().
+
+    The shared remote-PJRT tunnel in this environment flaps: when it is
+    down, backend init hangs indefinitely (not an exception), which would
+    hang this process and lose the round's snapshot.  Probe device init in
+    a SUBPROCESS with a hard timeout (init state is per-process, so a
+    hung probe leaves this process clean), retrying for ~20 minutes.
+    Proceeds on success or after the last attempt (a local CPU backend
+    initializes in seconds and passes on the first probe)."""
+    import subprocess
+
+    pin = _platform_pin_stmt()
+    probe = pin + "import jax; d = jax.devices(); print(d[0].platform)"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode == 0:
+                return
+            reason = (r.stderr or "").strip().splitlines()[-1:] or ["nonzero exit"]
+            reason = reason[0]
+        except subprocess.TimeoutExpired:
+            reason = f"init hang >{probe_timeout_s}s (tunnel down?)"
+        print(
+            f"bench: backend probe {i + 1}/{attempts} failed: {reason}",
+            file=sys.stderr,
+            flush=True,
+        )
+        if i + 1 < attempts:
+            time.sleep(retry_sleep_s)
+
+
+def _platform_pin_stmt() -> str:
+    """Python statement pinning the JAX platform when DLV3_BENCH_PLATFORM is
+    set (e.g. 'cpu' to bench on a CPU host).  The pin must go through
+    jax.config — the axon TPU plugin ignores JAX_PLATFORMS."""
+    import os
+
+    plat = os.environ.get("DLV3_BENCH_PLATFORM")
+    if not plat:
+        return ""
+    return f"import jax; jax.config.update('jax_platforms', {plat!r}); "
+
+
+def _apply_platform_pin() -> None:
+    """In-process counterpart of _platform_pin_stmt for this process."""
+    import os
+
+    plat = os.environ.get("DLV3_BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 if __name__ == "__main__":
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     # batch 16 is the measured throughput-optimal point on one v5e chip
     # (126 vs 117 img/s combined at batch 8; PERFORMANCE.md batch scaling)
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    _apply_platform_pin()
+    _wait_for_backend()
     result = run(image_size=size, batch_size=batch, dtype=dtype)
     print(json.dumps(result))
