@@ -993,6 +993,10 @@ def _probe_viable() -> bool:
             check(depthwise3x3_s2, depthwise3x3_s2_reference, 3)
             check(depthwise_stencil, ref_k((1, 1)), 5)
             check(depthwise_stencil_s2, ref_k((2, 2)), 5)
+            # k7 covers the NASNet reduction-cell routes — every k the
+            # dispatcher can choose is numerically probed on this backend.
+            check(depthwise_stencil, ref_k((1, 1)), 7)
+            check(depthwise_stencil_s2, ref_k((2, 2)), 7)
             _viable = True
         except Exception as e:  # pragma: no cover - backend-specific
             import warnings
@@ -1017,6 +1021,52 @@ def _pallas_wanted() -> bool:
     return (
         jax.default_backend() == "tpu" and _single_device_mesh and _probe_viable()
     )
+
+
+# VMEM working-set ceiling for eligibility (v5e VMEM ≈ 16 MB/core; leave
+# headroom for the compiler's output double-buffering and spills).  The
+# tile-size heuristics floor th at 8 (s1) / 4 (s2), so a large-dilation ×
+# wide-channel site (e.g. an os-8 Xception ASPP split-sep depthwise at
+# rate 18 on 1536+ channels) can exceed VMEM no matter the tiling — and
+# that failure would surface at MODEL compile time, where the tiny-shape
+# probe can't catch it.  Route such sites to lax statically instead.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_fit_s1(x_shape, k: int, dil, itemsize: int, layout: str) -> bool:
+    """Backward-pass VMEM working set of the stride-1 kernels (the larger
+    of fwd/bwd) against the budget."""
+    B, H, W, C = x_shape
+    if layout == "bhcw":
+        th, cb = _tiles(H, C, W, itemsize)
+        slab = (th + 2) * cb * W * itemsize
+        out = th * cb * W * itemsize
+        # bwd: x + g slabs (single-buffered) + dx out block
+        return 2 * slab + out <= _VMEM_BUDGET_BYTES
+    halo = (k - 1) * dil[0]
+    th = _tiles_nhwc(H, W, C, itemsize, halo)
+    slab = (th + halo) * W * C * itemsize
+    out = th * W * C * itemsize
+    # bwd: x + g slabs, each double-buffered, + dx out block
+    return 4 * slab + out <= _VMEM_BUDGET_BYTES
+
+
+def _vmem_fit_s2(x_shape, k: int, itemsize: int) -> bool:
+    """Backward-pass VMEM working set of the stride-2 polyphase kernel."""
+    span, _, gpad, _ = _s2_geometry(k)
+    B, H, W, C = x_shape
+    Ho, Wh = H // 2, W // 2
+    th = _tiles_s2(Ho, Wh, C, itemsize)
+    plane_slabs = sum(
+        (th + span[p]) * (Wh + span[q]) * C * itemsize
+        for p in (0, 1)
+        for q in (0, 1)
+    )
+    gspan = gpad[0] + gpad[1]
+    g_slab = (th + gspan) * (Wh + gspan) * C * itemsize
+    out = th * Wh * C * itemsize
+    # bwd: 4 plane slabs + g slab, each double-buffered, + 4 dx out blocks
+    return 2 * (plane_slabs + g_slab) + 4 * out <= _VMEM_BUDGET_BYTES
 
 
 def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:
@@ -1046,7 +1096,10 @@ def pallas_eligible(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bo
     B, H, W, C = x_shape
     if (k // 2) * dw >= W:
         return False
-    return C % 8 == 0 and H >= 4 and W >= 8
+    if not (C % 8 == 0 and H >= 4 and W >= 8):
+        return False
+    layout = _layout() if k == 3 and (dh, dw) == (1, 1) else "nhwc"
+    return _vmem_fit_s1(x_shape, k, (dh, dw), jnp.dtype(x_dtype).itemsize, layout)
 
 
 def pallas_eligible_s2(x_shape, x_dtype, k_shape, strides, dilation, padding) -> bool:
@@ -1063,7 +1116,9 @@ def pallas_eligible_s2(x_shape, x_dtype, k_shape, strides, dilation, padding) ->
     if padding != "SAME":
         return False
     B, H, W, C = x_shape
-    return C % 8 == 0 and H % 2 == 0 and W % 2 == 0 and H >= 8 and W >= 16
+    if not (C % 8 == 0 and H % 2 == 0 and W % 2 == 0 and H >= 8 and W >= 16):
+        return False
+    return _vmem_fit_s2(x_shape, k, jnp.dtype(x_dtype).itemsize)
 
 
 def depthwise_conv(

@@ -150,6 +150,31 @@ def test_depthwise_conv_dispatcher_eligibility():
     assert not pallas_eligible((2, 32, 32, 96), f32, (3, 3, 1, 96), (1, 1), (1, 32), "SAME")
 
 
+def test_depthwise_eligibility_vmem_budget(monkeypatch):
+    """Sites whose backward working set cannot fit VMEM at the minimum row
+    tile are statically routed to lax: the tiny-shape viability probe
+    cannot catch a shape-dependent VMEM overflow, so without this guard a
+    big-dilation × wide-channel site (an os-8 Xception ASPP split-sep
+    depthwise) would fail at MODEL compile time on TPU."""
+    f32 = jnp.float32
+    # Flagship/bench geometries must stay on the Pallas route (batch 16).
+    assert pallas_eligible((16, 256, 256, 96), f32, (3, 3, 1, 96), (1, 1), (1, 1), "SAME")
+    assert pallas_eligible((16, 32, 32, 256), f32, (3, 3, 1, 256), (1, 1), (18, 15), "SAME")
+    assert pallas_eligible_s2((16, 256, 256, 96), f32, (3, 3, 1, 96), (2, 2), (1, 1), "SAME")
+    # rate-18 halo (36 rows) × 2048 channels: slab ≈ 11.5 MB, bwd ≈ 46 MB.
+    assert not pallas_eligible(
+        (8, 32, 32, 2048), f32, (3, 3, 1, 2048), (1, 1), (18, 15), "SAME"
+    )
+    # The bhcw layout tiles differently but obeys the same budget.
+    monkeypatch.setenv("DLV3_DW_LAYOUT", "bhcw")
+    assert pallas_eligible((16, 256, 256, 96), f32, (3, 3, 1, 96), (1, 1), (1, 1), "SAME")
+    monkeypatch.delenv("DLV3_DW_LAYOUT")
+    # Absurd stride-2 width: 4 double-buffered plane slabs alone blow VMEM.
+    assert not pallas_eligible_s2(
+        (2, 16, 1024, 8192), f32, (3, 3, 1, 8192), (2, 2), (1, 1), "SAME"
+    )
+
+
 @pytest.mark.parametrize(
     "kw", [dict(strides=(2, 2)), dict(dilation=(2, 2)), dict()]
 )
