@@ -330,6 +330,14 @@ def shard_step(step_fn, mesh, *, kind: str, spatial: bool = False):
     The jitted function is created once (stable cache); batches must carry
     exactly the keys image/label/valid.
     """
+    # The Pallas depthwise stencil is a plain custom call that GSPMD cannot
+    # partition; any step sharded over a non-trivial mesh must use XLA's
+    # conv lowering (which inserts the halo exchanges itself).  api.py sets
+    # this too, but the guard belongs at the parallel layer so direct users
+    # of shard_step (tools, __graft_entry__.dryrun_multichip) are covered.
+    from ..kernels import set_single_device_mesh
+
+    set_single_device_mesh(mesh.size == 1)
     repl = mesh_lib.replicated(mesh)
     bsh = mesh_lib.batch_sharding(mesh, spatial)
     ssh = mesh_lib.sample_sharding(mesh)

@@ -378,6 +378,29 @@ def test_depthwise_dispatch_mesh_guard(monkeypatch):
         dw3.set_single_device_mesh(True)
 
 
+def test_shard_step_sets_mesh_guard(monkeypatch):
+    """shard_step itself flips the single-device flag, so direct users of
+    the parallel layer (tools, dryrun_multichip) — not only api.py — keep
+    the GSPMD-opaque stencil off non-trivial meshes."""
+    import jax
+
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+    from deeplabv3plus_keras_tpu.parallel import make_mesh, shard_step
+
+    dummy = lambda state, batch, rng: (state, {"loss": jnp.float32(0)})
+    try:
+        mesh1 = make_mesh(n_data=1, n_space=1, devices=jax.devices("cpu")[:1])
+        shard_step(dummy, mesh1, kind="train")
+        assert dw3._single_device_mesh
+        n = min(2, len(jax.devices("cpu")))
+        if n > 1:
+            mesh2 = make_mesh(n_data=n, n_space=1, devices=jax.devices("cpu")[:n])
+            shard_step(dummy, mesh2, kind="train")
+            assert not dw3._single_device_mesh
+    finally:
+        dw3.set_single_device_mesh(True)
+
+
 def test_flagship_train_grad_parity_pallas_vs_lax(rng, monkeypatch):
     """Full flagship-model loss gradient with every eligible depthwise site
     on the Pallas route (stride-1 + stride-2 stencils, forced interpret)
