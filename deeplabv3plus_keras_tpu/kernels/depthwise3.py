@@ -945,68 +945,93 @@ def _probe_viable() -> bool:
     backend; disable dispatch on any failure.  Catches both Mosaic
     rejections and backend-specific miscompiles (e.g. if the sequential-
     grid dk accumulation assumption ever broke, gradients would silently
-    corrupt training — so the probe compares values, not just liveness)."""
+    corrupt training — so the probe compares values, not just liveness).
+
+    The probe runs in a WORKER THREAD: dispatch happens at trace time, so
+    the first call arrives inside an outer jit trace, where every jax op —
+    concrete inputs or not — joins the ambient trace and the probe's
+    ``float()`` value fetches raise ConcretizationTypeError (measured: the
+    except-clause would then silently disable the stencils everywhere).
+    JAX trace state is thread-local; a fresh thread evaluates eagerly."""
     global _viable
     if _viable is None:
-        try:
-            import numpy as np
+        import threading
 
-            rng = np.random.default_rng(0)
-            x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)), jnp.float32)
+        box = {}
 
-            def check(fn, ref, kk):
-                k = jnp.asarray(rng.normal(size=(kk, kk, 1, 8)) * 0.2, jnp.float32)
+        def _work():
+            try:
+                _run_probe()
+                box["ok"] = True
+            except Exception as e:  # pragma: no cover - backend-specific
+                box["err"] = e
 
-                def loss(f):
-                    return lambda x, k: (f(x, k) ** 2).sum()
-
-                y1 = jax.jit(fn)(x, k)
-                y2 = jax.jit(ref)(x, k)
-                gx1, gk1 = jax.jit(jax.grad(loss(fn), (0, 1)))(x, k)
-                gx2, gk2 = jax.jit(jax.grad(loss(ref), (0, 1)))(x, k)
-                for a, b in ((y1, y2), (gx1, gx2), (gk1, gk2)):
-                    err = float(jnp.abs(a - b).max())
-                    scale = float(jnp.abs(b).max()) + 1e-12
-                    if not err <= 1e-3 * scale:
-                        raise ValueError(
-                            f"stencil/lax mismatch: {err} vs scale {scale}"
-                        )
-
-            def ref_s1(x, k):
-                return jax.lax.conv_general_dilated(
-                    x, k, (1, 1), "SAME", rhs_dilation=(2, 2),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=x.shape[-1],
-                )
-
-            def ref_k(strides):
-                def f(x, k):
-                    return jax.lax.conv_general_dilated(
-                        x, k, strides, "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        feature_group_count=x.shape[-1],
-                    )
-                return f
-
-            check(depthwise3x3, depthwise3x3_reference, 3)
-            check(lambda x, k: depthwise_stencil(x, k, (2, 2)), ref_s1, 3)
-            check(depthwise3x3_s2, depthwise3x3_s2_reference, 3)
-            check(depthwise_stencil, ref_k((1, 1)), 5)
-            check(depthwise_stencil_s2, ref_k((2, 2)), 5)
-            # k7 covers the NASNet reduction-cell routes — every k the
-            # dispatcher can choose is numerically probed on this backend.
-            check(depthwise_stencil, ref_k((1, 1)), 7)
-            check(depthwise_stencil_s2, ref_k((2, 2)), 7)
+        t = threading.Thread(target=_work, name="dlv3-depthwise-probe")
+        t.start()
+        t.join()
+        if box.get("ok"):
             _viable = True
-        except Exception as e:  # pragma: no cover - backend-specific
+        else:
             import warnings
 
             warnings.warn(
                 f"Pallas depthwise stencil failed its probe (compile or "
-                f"numerics); falling back to lax convs: {e!r}"
+                f"numerics); falling back to lax convs: {box.get('err')!r}"
             )
             _viable = False
     return _viable
+
+
+def _run_probe() -> None:
+    """The probe body: compile + numerics for every dispatchable k/stride."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)), jnp.float32)
+
+    def check(fn, ref, kk):
+        k = jnp.asarray(rng.normal(size=(kk, kk, 1, 8)) * 0.2, jnp.float32)
+
+        def loss(f):
+            return lambda x, k: (f(x, k) ** 2).sum()
+
+        y1 = jax.jit(fn)(x, k)
+        y2 = jax.jit(ref)(x, k)
+        gx1, gk1 = jax.jit(jax.grad(loss(fn), (0, 1)))(x, k)
+        gx2, gk2 = jax.jit(jax.grad(loss(ref), (0, 1)))(x, k)
+        for a, b in ((y1, y2), (gx1, gx2), (gk1, gk2)):
+            err = float(jnp.abs(a - b).max())
+            scale = float(jnp.abs(b).max()) + 1e-12
+            if not err <= 1e-3 * scale:
+                raise ValueError(
+                    f"stencil/lax mismatch: {err} vs scale {scale}"
+                )
+
+    def ref_s1(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1],
+        )
+
+    def ref_k(strides):
+        def f(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, strides, "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=x.shape[-1],
+            )
+        return f
+
+    check(depthwise3x3, depthwise3x3_reference, 3)
+    check(lambda x, k: depthwise_stencil(x, k, (2, 2)), ref_s1, 3)
+    check(depthwise3x3_s2, depthwise3x3_s2_reference, 3)
+    check(depthwise_stencil, ref_k((1, 1)), 5)
+    check(depthwise_stencil_s2, ref_k((2, 2)), 5)
+    # k7 covers the NASNet reduction-cell routes — every k the
+    # dispatcher can choose is numerically probed on this backend.
+    check(depthwise_stencil, ref_k((1, 1)), 7)
+    check(depthwise_stencil_s2, ref_k((2, 2)), 7)
 
 
 def _pallas_wanted() -> bool:

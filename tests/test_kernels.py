@@ -512,6 +512,40 @@ def test_depthwise_probe_checks_numerics(monkeypatch):
         assert dw3._probe_viable() is False
 
 
+def test_depthwise_probe_inside_jit_trace(monkeypatch):
+    """Dispatch happens at TRACE time, so on TPU the one-time probe first
+    fires inside an outer jit trace — where every jax op joins the ambient
+    trace and the probe's float() fetches raise ConcretizationTypeError
+    unless the probe escapes to its own thread (trace state is
+    thread-local).  Regression: the except-clause used to swallow that
+    error and silently disable the stencils on the very backend they
+    target."""
+    import warnings
+
+    import jax
+
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+
+    monkeypatch.delenv("DLV3_PALLAS_DEPTHWISE", raising=False)
+    monkeypatch.setattr(dw3, "_interpret", lambda: True)
+    monkeypatch.setattr(dw3.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dw3, "_viable", None)
+    dw3.set_single_device_mesh(True)
+
+    @jax.jit
+    def step(x, k):
+        return dw3.depthwise_conv(x, k).sum()
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 16, 16)), jnp.float32)
+    k = jnp.asarray(np.random.default_rng(1).normal(size=(3, 3, 1, 16)) * 0.2, jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a probe-failure warning fails the test
+        out = step(x, k)
+    assert dw3._viable is True
+    want = depthwise3x3_reference(x, k).sum()
+    assert abs(float(out) - float(want)) < 1e-3
+
+
 def test_depthwise_module_param_tree_unchanged(rng):
     """DepthwiseConv must keep nn.Conv's exact param path + HWIO shape so
     checkpoints and the Keras weight converter are unaffected."""
