@@ -33,7 +33,7 @@ from deeplabv3plus_keras_tpu.kernels import (
 
 # Every stride-1 depthwise stage of the truncated MobileNetV2 os16
 # backbone (through block_12) at 512², (B,H,W,C).  Stride-2 sites
-# (256²C96, 128²C144, 64²C192) stay on the lax path.
+# (256²C96, 128²C144, 64²C192) are measured by the polyphase section below.
 GEOMS = [
     (16, 256, 256, 32),  # expanded_conv
     (16, 128, 128, 144),  # block_2
