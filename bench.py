@@ -263,8 +263,9 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "device": str(jax.devices()[0]),
             "tunnel_probe_ms": probe_ms,
             # Whether the depthwise Pallas stencils were live for the fp32
-            # numbers above (auto dispatch: TPU + 1-device mesh + numeric
-            # probe) — essential context for interpreting regressions.
+            # numbers above (default OFF — measured slower than lax on a
+            # real v5e; DLV3_PALLAS_DEPTHWISE=auto opts in) — essential
+            # context for interpreting regressions.
             "pallas_depthwise": _pallas_depthwise_active(),
             **mfu,
             **extra,

@@ -1036,16 +1036,30 @@ def _run_probe() -> None:
 
 def _pallas_wanted() -> bool:
     """Env override DLV3_PALLAS_DEPTHWISE: '1' force (interpret off-TPU,
-    for tests), '0' disable, unset/'auto' = TPU backend + trivial mesh
-    + a one-time probe compile."""
-    mode = os.environ.get("DLV3_PALLAS_DEPTHWISE", "auto")
-    if mode == "0":
-        return False
+    for tests), 'auto' = TPU backend + trivial mesh + a one-time probe
+    compile, unset/'0' = lax (the DEFAULT).
+
+    Default is OFF because the family was measured on a real v5e and
+    LOST to the lax grouped conv at every flagship site (fwd+bwd,
+    100-step scan, min-of-3): bhcw 5.9 ms vs lax 2.0 ms at 128²C144,
+    5.3 vs 3.4 at 256²C32 (entry/exit transposes dominate); nhwc 0.78
+    vs 0.59 at 32²C384 (its one natively lane-aligned site — real
+    Mosaic rejects DMA slabs whose lane dim is not a 128-multiple, so
+    nhwc needs C%128==0 and bhcw W%128==0).  XLA's depthwise lowering
+    already runs at ~65% of the pure HBM-traffic floor; there is no
+    headroom worth the kernel.  Kept for its exact-fp32 numerics
+    (stencil ≈1.6e-7 rel vs fp64 golden where lax's bf16 decomposition
+    is ~3e-3 off) and as a measured exploration (see KERNELS.md)."""
+    mode = os.environ.get("DLV3_PALLAS_DEPTHWISE", "0")
     if mode == "1":
         return True
-    return (
-        jax.default_backend() == "tpu" and _single_device_mesh and _probe_viable()
-    )
+    if mode == "auto":
+        return (
+            jax.default_backend() == "tpu"
+            and _single_device_mesh
+            and _probe_viable()
+        )
+    return False
 
 
 # VMEM working-set ceiling for eligibility (v5e VMEM ≈ 16 MB/core; leave

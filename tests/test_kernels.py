@@ -352,15 +352,21 @@ def test_depthwise_s2_dispatcher_eligibility():
 
 
 def test_depthwise_dispatch_mesh_guard(monkeypatch):
-    """Auto mode engages only on TPU with a single-device mesh; the env
-    override wins either way (api.py flips the mesh flag on init)."""
+    """Default is OFF (the family measured slower than lax on a real
+    v5e); 'auto' opt-in engages only on TPU with a single-device mesh
+    and a passing probe; the env override wins either way (api.py flips
+    the mesh flag on init)."""
     import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
 
     monkeypatch.delenv("DLV3_PALLAS_DEPTHWISE", raising=False)
     monkeypatch.setattr(dw3.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(dw3, "_viable", True)  # skip the probe compile
     try:
+        # Unset: lax path, even on TPU with a trivial mesh.
         dw3.set_single_device_mesh(True)
+        assert not dw3._pallas_wanted()
+        # Explicit auto opt-in: TPU + trivial mesh + probe.
+        monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "auto")
         assert dw3._pallas_wanted()
         dw3.set_single_device_mesh(False)
         assert not dw3._pallas_wanted()
@@ -526,7 +532,7 @@ def test_depthwise_probe_inside_jit_trace(monkeypatch):
 
     import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
 
-    monkeypatch.delenv("DLV3_PALLAS_DEPTHWISE", raising=False)
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "auto")
     monkeypatch.setattr(dw3, "_interpret", lambda: True)
     monkeypatch.setattr(dw3.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(dw3, "_viable", None)
