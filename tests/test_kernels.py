@@ -175,6 +175,89 @@ def test_depthwise_eligibility_vmem_budget(monkeypatch):
     )
 
 
+def test_depthwise_eligibility_lane_alignment(monkeypatch):
+    """On a real (non-interpret) backend, Mosaic's 128-lane DMA tiling
+    gates eligibility (measured on a v5e: 'Slice shape along dimension 3
+    must be aligned to tiling (128)'): the NHWC-layout kernels need
+    C%128==0, the bhcw k3 variant W%128==0; interpret mode stays
+    permissive so the CPU suite keeps exercising small-C shapes."""
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+
+    f32 = jnp.float32
+    a144 = ((16, 128, 128, 144), f32, (3, 3, 1, 144), (1, 1), (1, 1), "SAME")
+    a384 = ((16, 32, 32, 384), f32, (3, 3, 1, 384), (1, 1), (1, 1), "SAME")
+    # Interpret (this CPU suite): both eligible.
+    assert dw3.pallas_eligible(*a144) and dw3.pallas_eligible(*a384)
+    monkeypatch.setattr(dw3, "_interpret", lambda: False)
+    # nhwc layout (default): C on lanes.
+    assert not dw3.pallas_eligible(*a144)  # 144 % 128 != 0
+    assert dw3.pallas_eligible(*a384)
+    # Dilated/general-k sites are always nhwc.
+    assert dw3.pallas_eligible(
+        (16, 32, 32, 256), f32, (3, 3, 1, 256), (1, 1), (6, 3), "SAME"
+    )
+    assert not dw3.pallas_eligible(
+        (16, 32, 32, 96), f32, (3, 3, 1, 96), (1, 1), (6, 3), "SAME"
+    )
+    # bhcw layout: W on lanes.
+    monkeypatch.setenv("DLV3_DW_LAYOUT", "bhcw")
+    assert dw3.pallas_eligible(*a144)  # W=128
+    assert not dw3.pallas_eligible(*a384)  # W=32
+    monkeypatch.delenv("DLV3_DW_LAYOUT")
+    # Stride-2 parity planes keep C on lanes regardless of layout.
+    assert not dw3.pallas_eligible_s2(
+        (16, 128, 128, 144), f32, (3, 3, 1, 144), (2, 2), (1, 1), "SAME"
+    )
+    assert dw3.pallas_eligible_s2(
+        (16, 64, 64, 384), f32, (3, 3, 1, 384), (2, 2), (1, 1), "SAME"
+    )
+
+
+def test_depthwise_site_compile_gate(monkeypatch):
+    """The final dispatch gate AOT-compiles each site's exact fwd+bwd
+    kernels (Mosaic's alignment acceptance is not statically predictable —
+    measured on a v5e) and caches the verdict; a backend rejection warns
+    once and routes that site, and only that site, to lax."""
+    import warnings
+
+    import deeplabv3plus_keras_tpu.kernels.depthwise3 as dw3
+
+    monkeypatch.setenv("DLV3_PALLAS_DEPTHWISE", "1")
+    f32 = jnp.float32
+    # Interpret mode (this CPU suite) short-circuits: no compile probe.
+    assert dw3._site_compile_ok((2, 16, 16, 8), f32, (3, 3, 1, 8), (1, 1), False)
+    # Simulate a real backend: Mosaic lowering for the CPU platform fails,
+    # so the verdict must be False, cached, and dispatch must fall to lax.
+    monkeypatch.setattr(dw3, "_interpret", lambda: False)
+    dw3._site_ok.clear()
+    site = ((2, 16, 16, 128), f32, (3, 3, 1, 128), (1, 1), False)
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert dw3._site_compile_ok(*site) is False
+        assert any("rejected" in str(x.message) for x in w)
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            assert dw3._site_compile_ok(*site) is False
+        assert not w2  # cached verdict — no re-probe, no re-warn
+        # The public dispatcher passes static eligibility (C%128==0) but
+        # the cached rejection routes it to lax with correct numerics.
+        rng_ = np.random.default_rng(3)
+        x = jnp.asarray(rng_.normal(size=(2, 16, 16, 128)), f32)
+        k = jnp.asarray(rng_.normal(size=(3, 3, 1, 128)) * 0.2, f32)
+        assert dw3.pallas_eligible(
+            x.shape, f32, k.shape, (1, 1), (1, 1), "SAME"
+        )
+        y = dw3.depthwise_conv(x, k)
+        np.testing.assert_allclose(
+            np.asarray(y),
+            np.asarray(depthwise3x3_reference(x, k)),
+            atol=2e-6,
+        )
+    finally:
+        dw3._site_ok.clear()
+
+
 @pytest.mark.parametrize(
     "kw", [dict(strides=(2, 2)), dict(dilation=(2, 2)), dict()]
 )
