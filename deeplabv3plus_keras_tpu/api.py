@@ -147,10 +147,18 @@ class SemanticSegmentation:
             spatial=self._spatial,
         )
         # probs-free eval for the hot validation loop; the probs variant is
-        # built lazily for evaluate(result_saving=True) panel rendering
+        # built lazily for evaluate(result_saving=True) panel rendering.
+        # extra keys 'eval_scales' (e.g. [0.5, 0.75, 1.0, 1.25]) and
+        # 'eval_flip' enable multi-scale + horizontal-flip test-time
+        # augmentation — the standard DeepLab eval protocol; default off
+        # (single-scale, the reference's evaluate semantics :1080-1087).
+        self._tta = dict(
+            tta_scales=self.conf.extra.get("eval_scales"),
+            tta_flip=bool(self.conf.extra.get("eval_flip", False)),
+        )
         self._eval_step = shard_step(
             build_eval_step(self.model, self.conf, class_weights=cw,
-                            with_probs=False),
+                            with_probs=False, **self._tta),
             self.mesh,
             kind="eval",
             spatial=self._spatial,
@@ -423,7 +431,8 @@ class SemanticSegmentation:
             if self._eval_step_probs is None:
                 self._eval_step_probs = shard_step(
                     build_eval_step(self.model, self.conf,
-                                    class_weights=self._cw, with_probs=True),
+                                    class_weights=self._cw, with_probs=True,
+                                    **self._tta),
                     self.mesh,
                     kind="eval",
                     spatial=self._spatial,

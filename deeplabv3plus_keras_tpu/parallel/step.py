@@ -36,6 +36,7 @@ from ..train.loss import (
     class_balanced_loss_sparse,
     l2_penalty,
 )
+from ..ops.augment import augment_batch, parse_augment_conf
 from ..ops.parity_tail import tail_loss_cm
 from ..train.metrics import confusion_matrix_update, confusion_matrix_update_sparse
 from ..train.optimizer import make_optimizer
@@ -128,8 +129,23 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
     num_classes = conf.nn_arch.num_classes
     pw, nw = class_weights or default_class_weights(num_classes)
     accum = max(1, int(conf.extra.get("grad_accum", 1)))
+    # extra key 'augment' (default off = reference trajectory untouched):
+    # on-device random flip / scale-crop fused into this step's jit
+    # (ops/augment.py) — the standard DeepLab training recipe the
+    # reference lacks.
+    aug = parse_augment_conf(conf.extra.get("augment"))
 
     fused_tail = _use_fused_tail(conf)
+
+    def maybe_augment(batch, step_rng):
+        """(possibly augmented batch, dropout rng) for this step."""
+        if aug is None:
+            return batch, step_rng
+        aug_rng, drop_rng = jax.random.split(step_rng)
+        image, label = augment_batch(
+            batch["image"], batch["label"], aug_rng, flip=aug[0], scale_range=aug[1]
+        )
+        return dict(batch, image=image, label=label), drop_rng
 
     def grads_one(params, batch_stats, batch, drop_rng):
         """loss+l2 value, grads, new batch_stats and cm for one (micro)batch."""
@@ -190,8 +206,9 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        batch, drop_rng = maybe_augment(batch, step_rng)
         return apply_update(
-            state, *grads_one(state.params, state.batch_stats, batch, step_rng)
+            state, *grads_one(state.params, state.batch_stats, batch, drop_rng)
         )
 
     if accum == 1:
@@ -206,6 +223,7 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
         Lets memory-limited chips train the reference's effective batch.
         """
         step_rng = jax.random.fold_in(rng, state.step)
+        batch, step_rng = maybe_augment(batch, step_rng)
         B = batch["image"].shape[0]
         if B % accum:
             raise ValueError(f"grad_accum {accum} must divide batch size {B}")
@@ -237,18 +255,84 @@ def build_train_step(model, tx, conf: Config, class_weights=None) -> Callable:
     return train_step_accum
 
 
+def _tta_probs_fn(model, conf: Config, scales, flip: bool) -> Callable:
+    """Multi-scale + horizontal-flip test-time augmentation (beyond-parity;
+    the standard DeepLab evaluation protocol — the reference evaluates at a
+    single scale, semantic_segmentation.py:1080-1087).
+
+    Each scaled size is rounded to a multiple of ``output_stride`` so the
+    decoder's exact ×os upsample lands back on the scaled size; per-variant
+    probabilities are bilinearly resized to the native size and averaged.
+    All variants run inside the ONE jitted eval step (each scale is its own
+    static shape at trace time)."""
+    os_ = conf.nn_arch.output_stride
+    scales = tuple(float(s) for s in (scales or (1.0,)))
+
+    def tta_probs(variables, images):
+        B, S, C_in = images.shape[0], images.shape[1], images.shape[-1]
+        acc, n = 0.0, 0
+        for s in scales:
+            sz = max(os_, int(round(S * s / os_)) * os_)
+            x = (
+                images
+                if sz == S
+                else jax.image.resize(images, (B, sz, sz, C_in), "linear")
+            )
+            variants = [x, x[:, :, ::-1]] if flip else [x]
+            for i, xv in enumerate(variants):
+                p = model.apply(variables, xv, train=False)
+                if i == 1:
+                    p = p[:, :, ::-1]  # un-flip the prediction
+                if sz != S:
+                    p = jax.image.resize(p, (B, S, S, p.shape[-1]), "linear")
+                acc = acc + p
+                n += 1
+        return acc / n
+
+    return tta_probs
+
+
 def build_eval_step(
-    model, conf: Config, class_weights=None, with_probs: bool = True
+    model,
+    conf: Config,
+    class_weights=None,
+    with_probs: bool = True,
+    tta_scales=None,
+    tta_flip: bool = False,
 ) -> Callable:
     """``with_probs=False`` drops the (B, S, S, C) probability tensor from
     the outputs — on a multi-chip mesh out_shardings=repl would all-gather
     and replicate ~176 MB per 16×512² batch that the validation loop never
     reads (probs are only consumed by evaluate(result_saving=True)).
     Single-chip step time is unchanged (measured 79 ms both ways); the
-    saving is the collective and the HBM residency."""
+    saving is the collective and the HBM residency.
+
+    ``tta_scales``/``tta_flip`` (extra config keys ``eval_scales`` /
+    ``eval_flip``) enable multi-scale + flip test-time augmentation — see
+    ``_tta_probs_fn``."""
     wd = conf.hps.weight_decay
     num_classes = conf.nn_arch.num_classes
     pw, nw = class_weights or default_class_weights(num_classes)
+    tta = bool(tta_scales) or tta_flip
+
+    if tta:
+        probs_fn = _tta_probs_fn(model, conf, tta_scales, tta_flip)
+
+        def eval_step_tta(state: TrainState, batch):
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
+            probs = probs_fn(variables, batch["image"])
+            loss = _loss_for(batch["label"], probs, pw, nw, batch["valid"])
+            loss = loss + l2_penalty(state.params, wd)
+            cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
+            out = {"loss": loss, "cm": cm}
+            if with_probs:
+                out["probs"] = probs
+            return out
+
+        return eval_step_tta
 
     if _use_fused_tail(conf) and not with_probs:
         # probs-free validation: same parity-decomposed tail as training
