@@ -169,6 +169,44 @@ def test_train_step_with_augmentation(rng):
 
 
 @pytest.mark.slow
+def test_augmented_step_is_mesh_invariant(rng):
+    """Augmentation params are drawn from the replicated step rng, so the
+    same batch must produce the same loss/CM on a 1- and 4-device mesh."""
+    from tests.test_grad_accum import make_batch, tiny_conf
+
+    from deeplabv3plus_keras_tpu.models import create_model
+    from deeplabv3plus_keras_tpu.parallel import make_mesh, shard_step
+    from deeplabv3plus_keras_tpu.parallel.step import (
+        build_train_step,
+        create_train_state,
+    )
+
+    C, S, B = 5, 32, 8
+    conf = tiny_conf({"augment": True})
+    conf.hps.batch_size = B
+    conf.nn_arch.dropout_rate = 0.0  # dropout masks are layout-dependent
+    model = create_model(conf)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, S, S, 3), jnp.float32),
+        train=False,
+    )
+    batch = make_batch(rng, B, S, C)
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for n_data in (1, 4):
+        vs = jax.tree.map(jnp.array, variables)
+        state, tx = create_train_state(conf, vs)
+        step = shard_step(
+            build_train_step(model, tx, conf), make_mesh(n_data=n_data),
+            kind="train",
+        )
+        _, m = step(state, dict(batch), key)
+        results[n_data] = (float(m["loss"]), np.asarray(m["cm"]))
+    assert np.isclose(results[1][0], results[4][0], rtol=1e-5)
+    assert np.abs(results[1][1] - results[4][1]).sum() <= 8
+
+
+@pytest.mark.slow
 def test_tta_eval_single_scale_equals_plain(rng):
     """TTA with scales=[1.0], no flip is numerically the plain eval step."""
     from tests.test_grad_accum import make_batch, tiny_conf
