@@ -1,3 +1,4 @@
+from .augment import apply_augment, augment_batch, parse_augment_conf
 from .resize import affine_resize, resize_symmetric, tf_resize_images
 from .preprocess import (
     normalize_image,
@@ -8,6 +9,9 @@ from .preprocess import (
 )
 
 __all__ = [
+    "apply_augment",
+    "augment_batch",
+    "parse_augment_conf",
     "affine_resize",
     "resize_symmetric",
     "tf_resize_images",

@@ -25,11 +25,11 @@ BN_MOM = 0.9
 WD = 4e-5
 
 
-def _conf():
+def _conf(base_model="mobilenetv2"):
     from deeplabv3plus_keras_tpu.config import Config, MiddleOp
 
     conf = Config()
-    conf.base_model = "mobilenetv2"
+    conf.base_model = base_model
     conf.nn_arch.boundary_refinement = True
     conf.nn_arch.output_stride = 16
     conf.nn_arch.image_size = SIZE
@@ -50,14 +50,27 @@ def _conf():
 class KerasReferenceGraph:
     """The reference's encoder-middle/decoder/refinement layer recipe
     (:790-954), applied eagerly.  Layer names follow this repo's flax module
-    paths so utils.keras_weights can transplant by name."""
+    paths so utils.keras_weights can transplant by name.
 
-    def __init__(self):
+    ``backbone`` selects the reference's two headline backbones with their
+    exact output-stride-16 cut layers (semantic_segmentation.py:502-504,
+    :518-520)."""
+
+    def __init__(self, backbone: str = "mobilenetv2"):
         from tensorflow.keras import layers
-        from tensorflow.keras.applications import MobileNetV2
 
-        full = MobileNetV2(input_shape=(SIZE, SIZE, 3), include_top=False, weights=None)
-        self.base = tf.keras.Model(full.inputs, full.get_layer("block_12_add").output)
+        if backbone == "mobilenetv2":
+            from tensorflow.keras.applications import MobileNetV2 as App
+
+            cut = "block_12_add"
+        elif backbone == "xception":
+            from tensorflow.keras.applications import Xception as App
+
+            cut = "block13_sepconv2_bn"
+        else:
+            raise ValueError(backbone)
+        full = App(input_shape=(SIZE, SIZE, 3), include_top=False, weights=None)
+        self.base = tf.keras.Model(full.inputs, full.get_layer(cut).output)
         self.full_backbone = full
 
         def bn(name):

@@ -76,7 +76,7 @@ def tf_l2_penalty(ref):
     return WD * tf.add_n([tf.reduce_sum(tf.square(l.kernel)) for l in ks])
 
 
-def _run_both_trajectories(np_dtype):
+def _run_both_trajectories(np_dtype, backbone="mobilenetv2"):
     """Returns [(ours, keras), ...] per-step training losses."""
     from deeplabv3plus_keras_tpu.models import init_model
     from deeplabv3plus_keras_tpu.parallel.step import (
@@ -85,14 +85,14 @@ def _run_both_trajectories(np_dtype):
     )
     from deeplabv3plus_keras_tpu.utils.keras_weights import convert_keras_backbone
 
-    conf = _conf()
+    conf = _conf(backbone)
     conf.nn_arch.dropout_rate = 0.0  # only stochastic layer; off on both sides
     conf.hps.lr = LR
     conf.hps.decay = 0.0
     conf.hps.dtype = np.dtype(np_dtype).name
     model, variables = init_model(conf, jax.random.PRNGKey(0))
 
-    ref = KerasReferenceGraph()  # built under the caller's floatx
+    ref = KerasReferenceGraph(backbone)  # built under the caller's floatx
     rng = np.random.default_rng(11)
     warm = rng.uniform(-1, 1, (1, SIZE, SIZE, 3)).astype(np_dtype)
     ref(tf.constant(warm))  # build all eager layers before transplanting
@@ -173,4 +173,11 @@ def test_train_trajectory_matches_tf_keras_fp64():
 
 def test_train_trajectory_matches_tf_keras_fp32():
     losses = _run_both_trajectories(np.float32)
+    _assert_trajectory(losses, 2e-3)
+
+
+def test_train_trajectory_matches_tf_keras_fp32_xception():
+    """The reference's other headline backbone (README title): same
+    10-step dynamics check through Xception's sepconv/BN stack."""
+    losses = _run_both_trajectories(np.float32, backbone="xception")
     _assert_trajectory(losses, 2e-3)
