@@ -89,6 +89,136 @@ def test_eval_step_spatial_sharding(setup):
     )
 
 
+def _make_batch(batch, size, seed=3):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)), jnp.float32),
+        "label": jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 21, (batch, size, size))), 21
+        ),
+        "valid": jnp.ones((batch,), jnp.int32),
+    }
+
+
+def xception_ref_middle_conf():
+    """The reference's ``encoder_middle_conf_xception``
+    (semantic_segmentation_deeplabv3plus_conf.json: rates 6/12/18 +
+    pyramid_pooling, built at semantic_segmentation.py:841-856)."""
+    return [
+        MiddleOp(op="conv", kernel=3, rate=(1, 1), input=-1),
+        MiddleOp(op="conv", kernel=3, rate=(6, 6), input=0),
+        MiddleOp(op="conv", kernel=3, rate=(12, 12), input=0),
+        MiddleOp(op="conv", kernel=3, rate=(18, 18), input=0),
+        MiddleOp(
+            op="pyramid_pooling",
+            kernel=1,
+            rate=(1, 1),
+            input=0,
+            target_size_factor=(1, 1),
+        ),
+    ]
+
+
+def enriched_middle_conf():
+    """Flagship dilated branches (dilation ≫ per-shard feature extent) plus
+    a NON-trivial pyramid_pooling: AvgPool(4, valid) pools the whole 4×4
+    stride-16 feature map — the pooling window spans every spatial shard,
+    forcing GSPMD to reduce across the 'space' axis — then bilinear ×4
+    restores the branch shape for the concat."""
+    return [
+        MiddleOp(op="conv", kernel=3, rate=(1, 1), input=-1),
+        MiddleOp(op="conv", kernel=3, rate=(18, 15), input=0),
+        MiddleOp(op="conv", kernel=3, rate=(6, 21), input=0),
+        MiddleOp(
+            op="pyramid_pooling", kernel=4, input=0, target_size_factor=(4, 4)
+        ),
+    ]
+
+
+def _assert_eval_mesh_invariant(conf, batch, meshes):
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    state, _ = create_train_state(conf, variables)
+    ref = shard_step(
+        build_eval_step(model, conf), make_mesh(n_data=1, n_space=1), kind="eval"
+    )(state, batch)
+    for n_data, n_space in meshes:
+        got = shard_step(
+            build_eval_step(model, conf),
+            make_mesh(n_data=n_data, n_space=n_space),
+            kind="eval",
+            spatial=n_space > 1,
+        )(state, batch)
+        np.testing.assert_allclose(
+            float(got["loss"]), float(ref["loss"]), rtol=1e-5,
+            err_msg=f"mesh ({n_data},{n_space})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["probs"]), np.asarray(ref["probs"]), atol=1e-5,
+            err_msg=f"mesh ({n_data},{n_space})",
+        )
+
+
+def test_xception_reference_aspp_spatial_mesh():
+    """The Xception reference ASPP (rates 6/12/18 + pyramid_pooling) on a
+    ('data','space') mesh: eval must match the single-device step.  This is
+    the conf the reference headlines (README title; built at
+    semantic_segmentation.py:841-856) — dilation 18 exceeds the 4-row
+    stride-16 feature extent, let alone a 4-way spatial shard's single row,
+    so XLA's halo exchange degenerates to near-full gathers and must still
+    be numerically exact."""
+    conf = Config()
+    conf.base_model = "xception"
+    conf.nn_arch.image_size = 64
+    conf.nn_arch.boundary_refinement = False
+    conf.nn_arch.dropout_rate = 0.0
+    conf.nn_arch.encoder_middle_conf = xception_ref_middle_conf()
+    conf.hps.batch_size = 4
+    batch = _make_batch(4, 64)
+    _assert_eval_mesh_invariant(conf, batch, [(2, 4), (4, 2)])
+
+
+def test_pyramid_pooling_crosses_spatial_shards():
+    """Non-trivial pyramid_pooling (window = whole feature map, spanning
+    every 'space' shard) + the flagship's extreme dilated branches
+    (rate (18,15)·mult, (6,21)·mult) must be mesh-invariant in eval."""
+    conf = tiny_conf(8)
+    conf.nn_arch.image_size = 64
+    conf.nn_arch.encoder_middle_conf = enriched_middle_conf()
+    batch = _make_batch(8, 64)
+    _assert_eval_mesh_invariant(conf, batch, [(2, 4), (4, 2)])
+
+
+@pytest.mark.parametrize("n_data,n_space", [(2, 4), (4, 2)])
+def test_train_step_pyramid_dilated_invariant_to_mesh(n_data, n_space):
+    """One full train step (grads + Adam + BN stats) over the enriched
+    middle conf (global pyramid_pooling + extreme dilation) must match the
+    single-device step within fp32 tolerance on both 2-D meshes."""
+    conf = tiny_conf(8)
+    conf.nn_arch.image_size = 64
+    conf.nn_arch.encoder_middle_conf = enriched_middle_conf()
+    batch = _make_batch(8, 64)
+
+    def run(n_data, n_space):
+        model, variables = init_model(conf, jax.random.PRNGKey(0))
+        state, tx = create_train_state(conf, variables)
+        step = shard_step(
+            build_train_step(model, tx, conf),
+            make_mesh(n_data=n_data, n_space=n_space),
+            kind="train",
+            spatial=n_space > 1,
+        )
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["loss"]), np.asarray(metrics["cm"]), new_state.params
+
+    ref_loss, ref_cm, ref_params = run(1, 1)
+    loss, cm, params = run(n_data, n_space)
+    np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
+    # see test_train_step_invariant_to_mesh for the tie/summation-order note
+    assert np.abs(cm - ref_cm).sum() <= 8, np.abs(cm - ref_cm).sum()
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
 @pytest.mark.parametrize("fused", [True, False])
 def test_refinement_decoder_invariant_to_spatial_mesh(fused):
     """The refinement decoder — split classifier conv + the fused
