@@ -178,6 +178,18 @@ class SemanticSegmentation:
             spatial=self._spatial,
         )
 
+        # extra key 'int8_infer': post-training int8 quantization for the
+        # INFERENCE entry points (evaluate/test/segment) — eligible convs
+        # (both channel counts ≥ 128; Xception's 728-wide middle flow is
+        # the measured 1.6-2× case, tools/int8_probe.py) run s8×s8→s32 on
+        # the MXU after a calibration pass over 'int8_calib_batches'
+        # (default 4) batches.  Training and its validation loop always
+        # stay float; the reference's deployment analogue is the TFLite
+        # OPTIMIZE_FOR_SIZE export (semantic_segmentation.py:1189-1205).
+        self._int8 = bool(self.conf.extra.get("int8_infer", False))
+        self._quant = None
+        self._int8_steps = {}
+
     # ------------------------------------------------------------------
     # Data plumbing
     # ------------------------------------------------------------------
@@ -261,6 +273,61 @@ class SemanticSegmentation:
             # DEVICE_CPU, semantic_segmentation.py:49, conf.json:8).
             host_prepro=self.conf.prepro_device == DEVICE_CPU,
         )
+
+    # ------------------------------------------------------------------
+    # int8 inference (extra keys 'int8_infer' / 'int8_calib_batches')
+    # ------------------------------------------------------------------
+
+    def calibrate_int8(self, images=None):
+        """Record activation abs-max ranges for the int8 inference path
+        (ops/quant.py) and build the quantized inference steps.
+
+        ``images``: optional (N, S, S, 3) array in (−1, 1); by default
+        pulls ``int8_calib_batches`` batches from the training split (the
+        standard PTQ protocol: calibrate on the training distribution).
+        Returns the calibrated ``quant`` collection."""
+        import itertools
+
+        from .ops import quant as quant_lib
+
+        if images is not None:
+            imgs = np.asarray(images, np.float32)
+            B = max(1, self.hps.batch_size)
+            batches = [imgs[i:i + B] for i in range(0, len(imgs), B)]
+        else:
+            n = int(self.conf.extra.get("int8_calib_batches", 4))
+            loader = self._loader(voc.MODE_TRAIN, shuffle=False)
+            batches = [
+                b["image"] for b in itertools.islice(self._batches(loader), n)
+            ]
+        self._quant = quant_lib.calibrate(
+            self.model,
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            batches,
+        )
+        self._int8_steps = {}  # rebuilt lazily against the new scales
+        return self._quant
+
+    def _int8_step(self, kind: str, **kw):
+        """Quantized step for an inference entry point, built lazily after
+        (auto-)calibration; the float steps stay untouched for training."""
+        if self._quant is None:
+            self.calibrate_int8(images=kw.pop("calib_images", None))
+        else:
+            kw.pop("calib_images", None)
+        key = (kind, tuple(sorted(kw.items())))
+        if key not in self._int8_steps:
+            if kind == "eval":
+                fn = build_eval_step(self.model, self.conf, class_weights=self._cw,
+                                     quant=self._quant, **self._tta, **kw)
+            elif kind == "label":
+                fn = build_label_step(self.model, quant=self._quant)
+            else:
+                fn = build_predict_step(self.model, quant=self._quant)
+            self._int8_steps[key] = shard_step(
+                fn, self.mesh, kind=kind, spatial=self._spatial
+            )
+        return self._int8_steps[key]
 
     # ------------------------------------------------------------------
     # Entry points (reference :956-1227)
@@ -426,8 +493,9 @@ class SemanticSegmentation:
                 shutil.rmtree(results_dir)
             os.makedirs(results_dir, exist_ok=True)
 
-        eval_step = self._eval_step
-        if result_saving:
+        if self._int8:
+            eval_step = self._int8_step("eval", with_probs=result_saving)
+        elif result_saving:
             if self._eval_step_probs is None:
                 self._eval_step_probs = shard_step(
                     build_eval_step(self.model, self.conf,
@@ -438,6 +506,8 @@ class SemanticSegmentation:
                     spatial=self._spatial,
                 )
             eval_step = self._eval_step_probs
+        else:
+            eval_step = self._eval_step
 
         c_miou = MeanIoU(self.nn_arch.num_classes)
         sample_idx = 0
@@ -493,13 +563,14 @@ class SemanticSegmentation:
 
         from PIL import Image
 
+        label_step = self._int8_step("label") if self._int8 else self._label_step
         for batch in self._batches(loader, with_labels=False):
             if guard.triggered:
                 print("SIGTERM received: test stopped (partial results kept)")
                 break
             names = batch["names"]
             # argmax on device; only (B, S, S) int labels cross to host.
-            labels = np.asarray(self._label_step(self.state, batch["image"])).astype(
+            labels = np.asarray(label_step(self.state, batch["image"])).astype(
                 np.uint8
             )
             valid = np.asarray(batch["valid"])
@@ -512,9 +583,18 @@ class SemanticSegmentation:
 
     def segment(self, images) -> np.ndarray:
         """Programmatic batch inference: images (B,S,S,3) in (−1,1) →
-        argmax class-index labels (B,S,S) (reference segment, :1207-1227)."""
+        argmax class-index labels (B,S,S) (reference segment, :1207-1227).
+
+        Under ``int8_infer`` the first call calibrates on the given images
+        (no dataset required); call :meth:`calibrate_int8` beforehand to
+        calibrate on the training distribution instead."""
+        label_step = (
+            self._int8_step("label", calib_images=images)
+            if self._int8
+            else self._label_step
+        )
         return np.asarray(
-            self._label_step(self.state, jnp.asarray(images, jnp.float32))
+            label_step(self.state, jnp.asarray(images, jnp.float32))
         )
 
     def convert_to_tf_lite(self):

@@ -22,7 +22,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from ..blocks import BatchNorm, SeparableConv, glorot_uniform
+from ..blocks import BatchNorm, QuantConv, SeparableConv, glorot_uniform
 
 _BN_MOMENTUM = 0.99
 
@@ -38,12 +38,15 @@ class XceptionBackbone(nn.Module):
         return SeparableConv(features, kernel=3, dtype=self.dtype, name=name)
 
     def _conv(self, features, strides, name, kernel=3, padding="VALID"):
-        return nn.Conv(
+        # QuantConv: float path identical to nn.Conv; the wide 1×1
+        # residual shortcuts join the int8 inference path when calibrated
+        # (ops/quant.py — the stem convs fail the channel gate and stay
+        # float automatically).
+        return QuantConv(
             features,
-            (kernel, kernel),
-            strides=(strides, strides),
+            kernel=kernel,
+            strides=strides,
             padding=padding,
-            use_bias=False,
             kernel_init=glorot_uniform,
             dtype=self.dtype,
             name=name,

@@ -24,8 +24,10 @@ from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from ..kernels.depthwise3 import depthwise_conv
+from ..ops import quant
 
 # Keras glorot_uniform / TruncatedNormal(stddev=0.05) equivalents.
 glorot_uniform = nn.initializers.glorot_uniform()
@@ -66,6 +68,67 @@ class DepthwiseConv(nn.Module):
             strides=(self.strides, self.strides),
             dilation=self.dilation,
             padding=self.padding,
+        )
+
+
+class QuantConv(nn.Module):
+    """``nn.Conv(use_bias=False)`` drop-in with an int8 PTQ inference path.
+
+    Identical param tree (one HWIO ``kernel``, same inits) and a float path
+    that lowers to the exact same ``lax.conv_general_dilated`` call as
+    ``nn.Conv`` — weight transplants and all float numerics are unchanged.
+    The quantized path (ops/quant.py) engages per-apply, driven by the
+    ``quant`` variable collection:
+
+    - collection mutable (``mutable=['quant']``) → calibration pass:
+      records the input's abs-max running maximum, computes in float;
+    - collection present in variables → eligible convs (both channel
+      counts ≥ 128, see ops/quant.MIN_QUANT_CHANNELS) run s8×s8→s32 on
+      the MXU and dequantize;
+    - collection absent (training, plain inference) → pure float.
+    """
+
+    features: int
+    kernel: int = 1
+    strides: int = 1
+    padding: str | Sequence[tuple[int, int]] = "SAME"
+    kernel_init: Callable = glorot_uniform
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel",
+            self.kernel_init,
+            (self.kernel, self.kernel, cin, self.features),
+            self.param_dtype,
+        )
+        strides = (self.strides, self.strides)
+        if quant.eligible(cin, self.features) and not self.is_initializing():
+            if self.is_mutable_collection("quant"):
+                amax = self.variable(
+                    "quant", "in_absmax", lambda: jnp.zeros((), jnp.float32)
+                )
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+            elif self.has_variable("quant", "in_absmax"):
+                amax = self.variable(
+                    "quant", "in_absmax", lambda: jnp.zeros((), jnp.float32)
+                )
+                y = quant.int8_conv(
+                    x, k, amax.value, strides=strides, padding=self.padding
+                )
+                out_dtype = self.dtype or jnp.promote_types(x.dtype, k.dtype)
+                return y.astype(out_dtype)
+        x, k = nn.dtypes.promote_dtype(x, k, dtype=self.dtype)
+        dn = lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return lax.conv_general_dilated(
+            x, k, strides, self.padding, dimension_numbers=dn
         )
 
 
@@ -114,12 +177,10 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         name = "conv_l2" if self.l2 else "conv"
-        x = nn.Conv(
+        x = QuantConv(
             self.features,
-            (self.kernel, self.kernel),
-            strides=(self.strides, self.strides),
-            padding="SAME",
-            use_bias=False,
+            kernel=self.kernel,
+            strides=self.strides,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name=name,
@@ -159,10 +220,9 @@ class SeparableConv(nn.Module):
             dtype=self.dtype,
             name="depthwise",
         )(x)
-        x = nn.Conv(
+        x = QuantConv(
             self.features,
-            (1, 1),
-            use_bias=False,
+            kernel=1,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="pointwise",
@@ -198,10 +258,9 @@ class SplitSepConvBlock(nn.Module):
             momentum=self.bn_momentum, scale=self.bn_scale, dtype=self.dtype, name="bn1"
         )(x, train)
         x = nn.relu(x)
-        x = nn.Conv(
+        x = QuantConv(
             self.features,
-            (1, 1),
-            use_bias=False,
+            kernel=1,
             kernel_init=truncated_normal_05,
             dtype=self.dtype,
             name="conv_l2",

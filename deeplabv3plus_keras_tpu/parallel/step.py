@@ -106,6 +106,16 @@ def _cm_for(label, probs, num_classes, valid):
     return confusion_matrix_update_sparse(label, probs, num_classes, valid)
 
 
+def _variables(state, quant=None):
+    """Inference variables; a calibrated ``quant`` collection (ops/quant.py)
+    switches eligible convs to the int8 MXU path — baked into the jitted
+    step as constants (a handful of scalars), so no pytree/sharding changes."""
+    v = {"params": state.params, "batch_stats": state.batch_stats}
+    if quant:
+        v["quant"] = quant
+    return v
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -299,6 +309,7 @@ def build_eval_step(
     with_probs: bool = True,
     tta_scales=None,
     tta_flip: bool = False,
+    quant=None,
 ) -> Callable:
     """``with_probs=False`` drops the (B, S, S, C) probability tensor from
     the outputs — on a multi-chip mesh out_shardings=repl would all-gather
@@ -319,11 +330,7 @@ def build_eval_step(
         probs_fn = _tta_probs_fn(model, conf, tta_scales, tta_flip)
 
         def eval_step_tta(state: TrainState, batch):
-            variables = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            }
-            probs = probs_fn(variables, batch["image"])
+            probs = probs_fn(_variables(state, quant), batch["image"])
             loss = _loss_for(batch["label"], probs, pw, nw, batch["valid"])
             loss = loss + l2_penalty(state.params, wd)
             cm = _cm_for(batch["label"], probs, num_classes, batch["valid"])
@@ -338,7 +345,7 @@ def build_eval_step(
         # probs-free validation: same parity-decomposed tail as training
         def eval_step_fused(state: TrainState, batch):
             logits, up = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                _variables(state, quant),
                 batch["image"],
                 train=False,
                 return_presample=True,
@@ -353,7 +360,7 @@ def build_eval_step(
 
     def eval_step(state: TrainState, batch):
         probs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            _variables(state, quant),
             batch["image"],
             train=False,
         )
@@ -368,18 +375,14 @@ def build_eval_step(
     return eval_step
 
 
-def build_predict_step(model) -> Callable:
+def build_predict_step(model, quant=None) -> Callable:
     def predict_step(state: TrainState, images):
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images,
-            train=False,
-        )
+        return model.apply(_variables(state, quant), images, train=False)
 
     return predict_step
 
 
-def build_label_step(model, use_pallas: bool = True) -> Callable:
+def build_label_step(model, use_pallas: bool = True, quant=None) -> Callable:
     """Class-index prediction entirely on device.
 
     argmax∘softmax∘upsample ≡ argmax∘upsample, so labels are computed from
@@ -392,7 +395,7 @@ def build_label_step(model, use_pallas: bool = True) -> Callable:
     from ..kernels import upsample_argmax
 
     def label_step(state: TrainState, images):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = _variables(state, quant)
         if use_pallas:
             logits, up = model.apply(
                 variables, images, train=False, return_presample=True
