@@ -49,7 +49,8 @@ def wait_for_backend(attempts: int = 8, probe_timeout_s: int = 90) -> None:
             )
             if r.returncode == 0:
                 return
-            reason = (r.stderr or b"").decode().splitlines()[-1:]
+            lines = (r.stderr or b"").decode().strip().splitlines()
+            reason = lines[-1] if lines else f"exit {r.returncode}, empty stderr"
         except subprocess.TimeoutExpired:
             reason = f"compute hang >{probe_timeout_s}s (tunnel wedged?)"
         print(f"probe {i + 1}/{attempts} failed: {reason}", file=sys.stderr, flush=True)
@@ -97,7 +98,11 @@ def conv_case(name, B, H, W, Cin, Cout, k):
                     x, wp, (1, 1), "SAME", dimension_numbers=dn,
                     preferred_element_type=acc_dtype,
                 )
-                return y.astype(jnp.float32).mean() * 1e-30, None
+                # Carry dependency through a SMALL slice, not a full-tensor
+                # mean: reducing the whole output inside the timed body
+                # deflated small-conv TFLOP/s materially (ADVICE r3; dtype
+                # RATIOS were unaffected).
+                return y[0, 0, 0].astype(jnp.float32).sum() * 1e-30, None
 
             acc, _ = jax.lax.scan(inner, jnp.float32(0), None, length=steps)
             return acc
