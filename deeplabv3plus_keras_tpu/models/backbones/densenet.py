@@ -20,7 +20,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import BatchNorm, glorot_uniform
+from ..blocks import BatchNorm, QuantConv, glorot_uniform
 
 _BN_EPS = 1.001e-5
 
@@ -39,8 +39,11 @@ class DenseLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         y = BatchNorm(epsilon=_BN_EPS, dtype=self.dtype, name="0_bn")(x, train)
         y = nn.relu(y)
-        y = nn.Conv(4 * self.growth_rate, (1, 1), use_bias=False,
-                    kernel_init=glorot_uniform, dtype=self.dtype, name="1_conv")(y)
+        # QuantConv: float path identical to nn.Conv; the 1×1 bottleneck
+        # (cin grows to 1024, cout 4·growth=128) joins the int8 inference
+        # path once cin ≥ 128 (ops/quant.py channel gate).
+        y = QuantConv(4 * self.growth_rate, kernel=1,
+                      kernel_init=glorot_uniform, dtype=self.dtype, name="1_conv")(y)
         y = BatchNorm(epsilon=_BN_EPS, dtype=self.dtype, name="1_bn")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding="SAME", use_bias=False,
@@ -81,9 +84,9 @@ class DenseNetBackbone(nn.Module):
                 epsilon=_BN_EPS, dtype=self.dtype, name=f"pool{transition_idx}_bn"
             )(x, train)
             x = nn.relu(x)
-            x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
-                        kernel_init=glorot_uniform, dtype=self.dtype,
-                        name=f"pool{transition_idx}_conv")(x)
+            x = QuantConv(x.shape[-1] // 2, kernel=1,
+                          kernel_init=glorot_uniform, dtype=self.dtype,
+                          name=f"pool{transition_idx}_conv")(x)
             if transition_idx == last_transition:
                 return x  # pre-pool cut (reference pool3_conv/pool4_conv)
             x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import BatchNorm, DepthwiseConv
+from ..blocks import BatchNorm, DepthwiseConv, QuantConv
 
 # Keras EfficientNet conv kernel init: variance scaling (2.0, fan_out,
 # truncated normal).
@@ -93,8 +93,11 @@ class MBConv(nn.Module):
         inputs = x
         expanded = cin * self.expand_ratio
         if self.expand_ratio != 1:
-            x = nn.Conv(expanded, (1, 1), use_bias=False, kernel_init=conv_init,
-                        dtype=self.dtype, name="expand_conv")(x)
+            # QuantConv: float path identical to nn.Conv; wide expand/
+            # project 1x1 convs join the int8 inference path when both
+            # channel counts pass the gate (ops/quant.py).
+            x = QuantConv(expanded, kernel=1, kernel_init=conv_init,
+                          dtype=self.dtype, name="expand_conv")(x)
             x = BatchNorm(dtype=self.dtype, name="expand_bn")(x, train)
             x = nn.swish(x)
         x = DepthwiseConv(kernel=self.kernel, strides=self.strides,
@@ -114,8 +117,8 @@ class MBConv(nn.Module):
                      dtype=self.dtype, name="se_expand")(se)
         x = x * nn.sigmoid(se)
 
-        x = nn.Conv(self.features_out, (1, 1), use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype, name="project_conv")(x)
+        x = QuantConv(self.features_out, kernel=1,
+                      kernel_init=conv_init, dtype=self.dtype, name="project_conv")(x)
         x = BatchNorm(dtype=self.dtype, name="project_bn")(x, train)
 
         if self.strides == 1 and cin == self.features_out:

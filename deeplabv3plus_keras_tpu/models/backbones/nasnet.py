@@ -30,7 +30,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..blocks import BatchNorm, DepthwiseConv
+from ..blocks import BatchNorm, DepthwiseConv, QuantConv
 
 he_normal = nn.initializers.he_normal()
 _BN_MOM = 0.9997
@@ -85,9 +85,11 @@ class _SepBlock(nn.Module):
             x = DepthwiseConv(kernel=self.kernel, strides=stride,
                               kernel_init=he_normal, dtype=self.dtype,
                               name=f"separable_conv_{i}_depthwise")(x)
-            x = nn.Conv(self.filters, (1, 1), use_bias=False,
-                        kernel_init=he_normal, dtype=self.dtype,
-                        name=f"separable_conv_{i}_pointwise")(x)
+            # QuantConv: float path identical to nn.Conv (int8 gate
+            # in ops/quant.py decides per channel counts).
+            x = QuantConv(self.filters, kernel=1,
+                          kernel_init=he_normal, dtype=self.dtype,
+                          name=f"separable_conv_{i}_pointwise")(x)
             x = BatchNorm(momentum=_BN_MOM, epsilon=_BN_EPS, dtype=self.dtype,
                           name=f"separable_conv_{i}_bn")(x, train)
         return x

@@ -158,6 +158,46 @@ def test_int8_model_quality_on_trained_net():
     assert miou_q >= miou_f - 0.01, (miou_f, miou_q)
 
 
+def test_int8_eval_invariant_to_mesh():
+    """Quantized inference must partition like the float model: the int8
+    eval step on a ('data','space') mesh matches single-device int8
+    numerics (GSPMD halos the s8 convs; scales are replicated jit
+    constants)."""
+    from deeplabv3plus_keras_tpu.parallel import (
+        build_eval_step,
+        create_train_state,
+        make_mesh,
+        shard_step,
+    )
+
+    conf = _conf(reduction=128, size=64, batch=8)
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)), jnp.float32),
+        "label": jax.nn.one_hot(jnp.asarray(rng.integers(0, 21, (8, 64, 64))), 21),
+        "valid": jnp.ones((8,), jnp.int32),
+    }
+    q = quant.calibrate(model, variables, [batch["image"]])
+    state, _ = create_train_state(conf, variables)
+    e1 = shard_step(
+        build_eval_step(model, conf, quant=q),
+        make_mesh(n_data=1, n_space=1),
+        kind="eval",
+    )
+    e2 = shard_step(
+        build_eval_step(model, conf, quant=q),
+        make_mesh(n_data=2, n_space=4),
+        kind="eval",
+        spatial=True,
+    )
+    r1, r2 = e1(state, batch), e2(state, batch)
+    np.testing.assert_allclose(float(r1["loss"]), float(r2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r1["probs"]), np.asarray(r2["probs"]), atol=1e-5
+    )
+
+
 def test_int8_api_end_to_end(tmp_path):
     """Public surface: int8_infer drives evaluate/test/segment quantized."""
     from deeplabv3plus_keras_tpu.api import SemanticSegmentation
