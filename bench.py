@@ -55,26 +55,35 @@ def _flops_per_step(step_fn, *args):
         return None
 
 
-def _train_only_throughput(
+def _addon_rows(
     image_size: int, batch_size: int, steps: int, repeats: int, dtype: str,
-    base_model: str = "mobilenetv2",
+    base_model: str = "mobilenetv2", prefix: str = "",
+    measure=("train",), int8: bool = False, mfu: bool = False,
 ):
-    """Train-step-only img/s for an add-on configuration (bf16 / Xception),
-    same scan + full-tree-block methodology as the main measurement."""
+    """img/s rows for an add-on configuration (bf16 / Xception / int8),
+    same scan + full-tree-block methodology as the main measurement.
+
+    ``measure``: any of 'train'/'infer'. ``int8``: additionally measure the
+    PTQ int8 inference path (ops/quant.py; calibrated on the bench batch —
+    calibration data is irrelevant to throughput).  ``mfu``: add XLA
+    cost-analysis FLOPs + MFU for the train step."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from __graft_entry__ import _flagship_conf
     from deeplabv3plus_keras_tpu.models import init_model
-    from deeplabv3plus_keras_tpu.parallel import build_train_step, create_train_state
+    from deeplabv3plus_keras_tpu.parallel import (
+        build_predict_step,
+        build_train_step,
+        create_train_state,
+    )
 
     conf = _flagship_conf(image_size=image_size, batch_size=batch_size)
     conf.base_model = base_model
     conf.hps.dtype = dtype
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
-    train_step = build_train_step(model, tx, conf)
 
     B = batch_size
     rng = jax.random.PRNGKey(1)
@@ -89,24 +98,73 @@ def _train_only_throughput(
         "valid": jnp.ones((B,), jnp.int32),
     }
 
-    @jax.jit
-    def multi_train(state, batch, rng):
-        def body(s, _):
-            s, m = train_step(s, batch, rng)
-            return s, m["loss"]
-
-        return jax.lax.scan(body, state, None, length=steps)
-
-    out = multi_train(state, batch, rng)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = multi_train(state, batch, rng)
+    def timed_scan(multi, *args):
+        out = multi(*args)
         jax.block_until_ready(out)
-        float(jax.tree.leaves(out)[-1].reshape(-1)[-1])
-        best = min(best, (time.perf_counter() - t0) / steps)
-    return B / best, best * 1e3
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = multi(*args)
+            jax.block_until_ready(out)
+            scalar = jax.tree.leaves(out)[-1]
+            if scalar.ndim > 0:
+                scalar = scalar.reshape(-1)[-1]
+            float(scalar)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        return best
+
+    rows = {}
+    if "train" in measure:
+        train_step = build_train_step(model, tx, conf)
+
+        @jax.jit
+        def multi_train(state, batch, rng):
+            def body(s, _):
+                s, m = train_step(s, batch, rng)
+                return s, m["loss"]
+
+            return jax.lax.scan(body, state, None, length=steps)
+
+        t = timed_scan(multi_train, state, batch, rng)
+        rows[f"{prefix}train_images_per_sec"] = round(B / t, 3)
+        rows[f"{prefix}train_step_ms"] = round(t * 1e3, 3)
+        if mfu:
+            flops = _flops_per_step(train_step, state, batch, rng)
+            if flops is not None:
+                rows[f"{prefix}train_model_tflops_per_step"] = round(flops / 1e12, 3)
+                rows[f"{prefix}train_mfu_pct_of_v5e_bf16_peak"] = round(
+                    100.0 * flops / t / V5E_BF16_PEAK_FLOPS, 2
+                )
+
+    def infer_row(key, quant=None):
+        predict_step = build_predict_step(model, quant=quant)
+
+        @jax.jit
+        def multi_infer(state, images):
+            def body(acc, _):
+                probs = predict_step(state, images + acc * 1e-30)
+                return probs.astype(jnp.float32).mean(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+            return acc
+
+        t = timed_scan(multi_infer, state, batch["image"])
+        rows[key] = round(B / t, 3)
+        return t
+
+    if "infer" in measure:
+        t_f = infer_row(f"{prefix}infer_images_per_sec")
+        if int8:
+            from deeplabv3plus_keras_tpu.ops import quant as quant_lib
+
+            q = quant_lib.calibrate(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                [batch["image"]],
+            )
+            t_q = infer_row(f"{prefix}int8_infer_images_per_sec", quant=q)
+            rows[f"{prefix}int8_infer_speedup"] = round(t_f / t_q, 3)
+    return rows
 
 
 def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3, dtype: str = "float32", addons: bool = True):
@@ -232,20 +290,25 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
         }
     extra = {}
     if addons:
-        # the two other headline points from PERFORMANCE.md, captured in the
-        # driver's BENCH JSON each round (VERDICT r1 weak #4)
-        bf16_ips, bf16_ms = _train_only_throughput(
-            image_size, batch_size, steps, repeats, "bfloat16"
+        # the other headline points from PERFORMANCE.md, captured in the
+        # driver's BENCH JSON each round (VERDICT r1 weak #4); the full
+        # Xception block — bf16, infer, MFU, int8 — is VERDICT r3 item 5
+        # (Xception's MXU-bound middle flow is where the chip should show
+        # real utilization, and where int8 measured 1.6-2×).
+        extra.update(
+            _addon_rows(image_size, batch_size, steps, repeats, "bfloat16",
+                        prefix="bf16_")
         )
-        xcp_ips, xcp_ms = _train_only_throughput(
-            image_size, batch_size, steps, repeats, "float32", base_model="xception"
+        extra.update(
+            _addon_rows(image_size, batch_size, steps, repeats, "float32",
+                        base_model="xception", prefix="xception_fp32_",
+                        measure=("train", "infer"), int8=True, mfu=True)
         )
-        extra = {
-            "bf16_train_images_per_sec": round(bf16_ips, 3),
-            "bf16_train_step_ms": round(bf16_ms, 3),
-            "xception_fp32_train_images_per_sec": round(xcp_ips, 3),
-            "xception_fp32_train_step_ms": round(xcp_ms, 3),
-        }
+        extra.update(
+            _addon_rows(image_size, batch_size, steps, repeats, "bfloat16",
+                        base_model="xception", prefix="xception_bf16_",
+                        measure=("train", "infer"), int8=True, mfu=True)
+        )
     return {
         "metric": "512x512 images/sec/chip (infer + train step), MobileNetV2+refinement",
         "value": round(combined, 3),
