@@ -64,6 +64,7 @@ from .train.checkpoint import (
 )
 
 TF_LITE_MODEL_PATH = "semantic_segmentation_deeplabv3plus.tflite"  # reference :456
+TF_LITE_INT8_MODEL_PATH = "semantic_segmentation_deeplabv3plus_int8.tflite"
 STABLEHLO_MODEL_PATH = "semantic_segmentation_deeplabv3plus.stablehlo"
 
 
@@ -278,6 +279,23 @@ class SemanticSegmentation:
     # int8 inference (extra keys 'int8_infer' / 'int8_calib_batches')
     # ------------------------------------------------------------------
 
+    def _calib_batches(self, images=None):
+        """Calibration batches for PTQ: either slices of ``images``
+        ((N, S, S, 3) in (−1, 1)) or, by default, ``int8_calib_batches``
+        batches pulled from the training split (the standard PTQ protocol:
+        calibrate on the training distribution)."""
+        import itertools
+
+        if images is not None:
+            imgs = np.asarray(images, np.float32)
+            B = max(1, self.hps.batch_size)
+            return [imgs[i:i + B] for i in range(0, len(imgs), B)]
+        n = int(self.conf.extra.get("int8_calib_batches", 4))
+        loader = self._loader(voc.MODE_TRAIN, shuffle=False)
+        return [
+            b["image"] for b in itertools.islice(self._batches(loader), n)
+        ]
+
     def calibrate_int8(self, images=None):
         """Record activation abs-max ranges for the int8 inference path
         (ops/quant.py) and build the quantized inference steps.
@@ -286,20 +304,9 @@ class SemanticSegmentation:
         pulls ``int8_calib_batches`` batches from the training split (the
         standard PTQ protocol: calibrate on the training distribution).
         Returns the calibrated ``quant`` collection."""
-        import itertools
-
         from .ops import quant as quant_lib
 
-        if images is not None:
-            imgs = np.asarray(images, np.float32)
-            B = max(1, self.hps.batch_size)
-            batches = [imgs[i:i + B] for i in range(0, len(imgs), B)]
-        else:
-            n = int(self.conf.extra.get("int8_calib_batches", 4))
-            loader = self._loader(voc.MODE_TRAIN, shuffle=False)
-            batches = [
-                b["image"] for b in itertools.islice(self._batches(loader), n)
-            ]
+        batches = self._calib_batches(images)
         self._quant = quant_lib.calibrate(
             self.model,
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
@@ -597,12 +604,22 @@ class SemanticSegmentation:
             label_step(self.state, jnp.asarray(images, jnp.float32))
         )
 
-    def convert_to_tf_lite(self):
+    def convert_to_tf_lite(self, representative_images=None):
         """Model export (reference convert_to_tf_lite, :1189-1205).
 
         Always writes a serialized StableHLO artifact (jax.export); when
         TensorFlow is importable, additionally converts through jax2tf →
         TFLite with size optimization into the reference's .tflite name.
+
+        Beyond the reference: when ``representative_images`` is given (or
+        the config sets ``int8_infer``), a third artifact is written —
+        a full-integer post-training-quantized ``.tflite``
+        (``Optimize.DEFAULT`` + representative dataset, float fallback for
+        ops TFLite cannot quantize) calibrated on the same data the on-TPU
+        int8 path uses (``_calib_batches``).  The reference's
+        ``OPTIMIZE_FOR_SIZE`` only quantizes weights at rest; this variant
+        quantizes activations too, the edge-deployment counterpart of the
+        on-TPU MXU int8 serving path (ops/quant.py).
         """
         size = self.nn_arch.image_size
 
@@ -640,9 +657,28 @@ class SemanticSegmentation:
             with open(tfl_path, "wb") as f:
                 f.write(tflite_model)
             written.append(tfl_path)
+
+            if representative_images is not None or self._int8:
+                calib = self._calib_batches(representative_images)
+
+                def rep_dataset():
+                    for batch in calib:
+                        for img in np.asarray(batch, np.float32):
+                            yield [img[None]]
+
+                qconv = tf.lite.TFLiteConverter.from_concrete_functions(
+                    [tf_fn.get_concrete_function()]
+                )
+                qconv.optimizations = [tf.lite.Optimize.DEFAULT]
+                qconv.representative_dataset = rep_dataset
+                int8_model = qconv.convert()
+                int8_path = os.path.join(self.work_dir, TF_LITE_INT8_MODEL_PATH)
+                with open(int8_path, "wb") as f:
+                    f.write(int8_model)
+                written.append(int8_path)
         except Exception as e:  # TF not present or converter failure
-            print(f"TFLite conversion unavailable ({type(e).__name__}: {e}); "
-                  f"StableHLO artifact written instead.")
+            print(f"TFLite conversion incomplete ({type(e).__name__}: {e}); "
+                  f"artifacts written: {[os.path.basename(p) for p in written]}")
         return written
 
 

@@ -81,14 +81,16 @@ def upsample_conv3(x, w, f: int):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
-    # exact border strips (resize edge-clamp region + 1 conv row/col)
+    # exact border strips (resize edge-clamp region + 1 conv row/col),
+    # assembled by concatenation — slice+concat instead of scatter keeps
+    # the graph TFLite-quantizable (stablehlo.scatter has no TFLite
+    # legalization) at identical numerics; the horizontal strips go last
+    # so the corners take the left/right values
     P = f // 2 + 1
     top = _plain(x[:, :3], w, f)[:, :P]
     bot = _plain(x[:, -3:], w, f)[:, -P:]
     left = _plain(x[:, :, :3], w, f)[:, :, :P]
     right = _plain(x[:, :, -3:], w, f)[:, :, -P:]
-    y = y.at[:, :P].set(top)
-    y = y.at[:, -P:].set(bot)
-    y = y.at[:, :, :P].set(left)
-    y = y.at[:, :, -P:].set(right)
+    y = jnp.concatenate([top, y[:, P:-P], bot], axis=1)
+    y = jnp.concatenate([left, y[:, :, P:-P], right], axis=2)
     return y
