@@ -630,9 +630,13 @@ class SemanticSegmentation:
                 train=False,
             )
 
-        x_spec = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
         from jax import export as jax_export
 
+        # symbolic batch dimension: one StableHLO artifact serves any
+        # batch size (the TFLite artifacts below stay batch-1 — the TFLite
+        # runtime wants static shapes)
+        bdim = jax_export.symbolic_shape("b")[0]
+        x_spec = jax.ShapeDtypeStruct((bdim, size, size, 3), jnp.float32)
         exported = jax_export.export(jax.jit(infer))(x_spec)
         path = os.path.join(self.work_dir, STABLEHLO_MODEL_PATH)
         with open(path, "wb") as f:

@@ -231,7 +231,8 @@ def test_tflite_int8_export(workspace, trained):
 
 def test_stablehlo_roundtrip(workspace, trained):
     """The exported artifact must deserialize and execute (the serving
-    path): jax.export round-trip, outputs match the live model."""
+    path): jax.export round-trip, outputs match the live model, and the
+    symbolic batch dimension serves batch sizes the export never saw."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -240,13 +241,18 @@ def test_stablehlo_roundtrip(workspace, trained):
     written = ss.convert_to_tf_lite()
     path = [p for p in written if p.endswith(".stablehlo")][0]
     exported = jax_export.deserialize(open(path, "rb").read())
-    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    probs = exported.call(x)
-    # reference value straight from the model (the sharded predict step
-    # requires batch % mesh size == 0; the export is fixed to batch 1)
-    live = ss.model.apply(
-        {"params": ss.state.params, "batch_stats": ss.state.batch_stats},
-        x,
-        train=False,
-    )
-    np.testing.assert_allclose(np.asarray(probs), np.asarray(live), atol=1e-5)
+    for batch in (1, 3):
+        x = jnp.asarray(
+            np.random.default_rng(batch).uniform(-1, 1, (batch, 64, 64, 3)),
+            jnp.float32,
+        )
+        probs = exported.call(x)
+        # reference value straight from the model (the sharded predict
+        # step requires batch % mesh size == 0; the export's batch dim is
+        # symbolic)
+        live = ss.model.apply(
+            {"params": ss.state.params, "batch_stats": ss.state.batch_stats},
+            x,
+            train=False,
+        )
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(live), atol=1e-5)
