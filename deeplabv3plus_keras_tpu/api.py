@@ -542,6 +542,15 @@ class SemanticSegmentation:
                         os.path.join(results_dir, f"result_{sample_idx}.png"),
                     )
                     sample_idx += 1
+        if self.conf.extra.get("eval_per_class_iou", False):
+            names = (
+                voc.CLASS_NAMES
+                if (self.nn_arch.num_classes == len(voc.CLASS_NAMES)
+                    and self.conf.resource_type.startswith("pascal_voc"))
+                else None
+            )
+            print("per-class IoU:")
+            print(c_miou.report(names))
         print(f"mean iou: {c_miou.result():.4f}")
         return c_miou
 

@@ -215,7 +215,17 @@ class Config:
     def from_dict(cls, d: dict[str, Any]) -> "Config":
         known = {f.name for f in dataclasses.fields(cls)} - {"hps", "nn_arch", "extra"}
         kwargs = {k: v for k, v in d.items() if k in known}
-        extra = {k: v for k, v in d.items() if k not in known and k not in ("hps", "nn_arch")}
+        extra = {
+            k: v
+            for k, v in d.items()
+            if k not in known and k not in ("hps", "nn_arch", "extra")
+        }
+        # An explicit top-level "extra" dict merges flat: extra keys normally
+        # live at the top level of the JSON (any unknown key lands here), but
+        # {"extra": {...}} would otherwise nest silently and never be read.
+        nested = d.get("extra")
+        if isinstance(nested, dict):
+            extra = {**nested, **extra}
         return cls(
             hps=HParams.from_dict(d.get("hps", {})),
             nn_arch=NNArch.from_dict(d.get("nn_arch", {})),

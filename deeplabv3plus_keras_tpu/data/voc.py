@@ -29,6 +29,14 @@ MODE_TRAIN = 0
 MODE_VAL = 1
 MODE_TEST = 2
 
+# The 21 Pascal VOC semantic classes in label-id order (id 0 = background),
+# used for readable per-class IoU reports (MeanIoU.report).
+CLASS_NAMES = [
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
 
 @dataclass
 class SampleSpec:

@@ -151,3 +151,34 @@ class MeanIoU:
         if not valid.any():
             return 0.0
         return float((diag[valid] / denom[valid]).mean())
+
+    def per_class_iou(self):
+        """Per-class IoU vector (NaN for classes never seen in truth or
+        prediction — the classes MeanIoU's reduction skips).
+
+        The reference's ``MeanIoUExt`` (semantic_segmentation.py:283-334)
+        only exposes the mean; per-class values are what segmentation
+        debugging actually needs (which classes drag the mean down), so
+        this framework surfaces them from the same confusion matrix.
+        """
+        import numpy as np
+
+        cm = self.total_cm.astype(np.float64)
+        diag = np.diagonal(cm)
+        denom = cm.sum(axis=0) + cm.sum(axis=1) - diag
+        valid = denom > 0
+        return np.where(valid, diag / np.where(valid, denom, 1.0), np.nan)
+
+    def report(self, class_names=None) -> str:
+        """Readable per-class IoU table + mean (one line per class)."""
+        import numpy as np
+
+        iou = self.per_class_iou()
+        names = class_names or [str(i) for i in range(self.num_classes)]
+        width = max(len(str(n)) for n in names)
+        lines = []
+        for i, v in enumerate(iou):
+            val = "  n/a" if np.isnan(v) else f"{v:.4f}"
+            lines.append(f"  {str(names[i]):<{width}}  {val}")
+        lines.append(f"  {'mean':<{width}}  {self.result():.4f}")
+        return "\n".join(lines)

@@ -255,6 +255,23 @@ def test_config_roundtrip_preserves_extra_keys():
     assert out["nn_arch"]["output_stride"] == 8
 
 
+def test_config_explicit_extra_dict_merges_flat():
+    """{"extra": {...}} must merge into conf.extra (not nest silently);
+    flat top-level unknown keys win on collision."""
+    from deeplabv3plus_keras_tpu.config import Config
+
+    d = {"mode": "train", "extra": {"eval_per_class_iou": True, "augment": False},
+         "augment": True,
+         "nn_arch": {"encoder_middle_conf": [{"kernel": 1, "op": "conv", "input": -1}]}}
+    c = Config.from_dict(d)
+    assert c.extra.get("eval_per_class_iou") is True
+    assert c.extra.get("augment") is True  # flat key wins
+    assert "extra" not in c.extra
+    # round-trip re-parses identically (extra keys emit flat)
+    c2 = Config.from_dict(c.to_dict())
+    assert c2.extra == c.extra
+
+
 def test_loader_prefetch_pool_never_wedges_under_credit_contention(voc_root):
     """Starvation regression (pipeline.py worker): with more workers than
     inflight credits, the old dequeue-then-acquire order let a worker

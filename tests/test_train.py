@@ -66,6 +66,32 @@ def test_confusion_matrix_and_miou(rng):
     np.testing.assert_allclose(m.result(), (1 / 3 + 2 / 3 + 1 / 2) / 3, rtol=1e-6)
 
 
+def test_per_class_iou_and_report(rng):
+    C = 4  # class 3 never appears in truth or prediction → NaN / "n/a"
+    t = np.array([0, 0, 1, 1, 2, 2])
+    p = np.array([0, 1, 1, 1, 2, 0])
+    y_true = np.eye(C, dtype=np.float32)[t].reshape(1, 6, C)
+    y_pred = np.eye(C, dtype=np.float32)[p].reshape(1, 6, C)
+    m = MeanIoU(C).update_state(y_true, y_pred)
+    iou = m.per_class_iou()
+    np.testing.assert_allclose(iou[:3], [1 / 3, 2 / 3, 1 / 2], rtol=1e-12)
+    assert np.isnan(iou[3])
+    # mean over valid classes must equal result()
+    np.testing.assert_allclose(np.nanmean(iou), m.result(), rtol=1e-12)
+    report = m.report(["bg", "cat", "dog", "ghost"])
+    assert "cat" in report and "0.6667" in report
+    assert "ghost" in report and "n/a" in report
+    assert report.strip().endswith(f"{m.result():.4f}")
+
+
+def test_voc_class_names_table():
+    from deeplabv3plus_keras_tpu.data import voc
+
+    assert len(voc.CLASS_NAMES) == 21
+    assert voc.CLASS_NAMES[0] == "background"
+    assert voc.CLASS_NAMES[15] == "person"
+
+
 def test_miou_accum_vs_replace(rng):
     C = 4
     a = np.eye(C, dtype=np.float32)[rng.integers(0, C, (1, 10))]
