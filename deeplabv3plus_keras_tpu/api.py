@@ -55,7 +55,7 @@ from .parallel import (
     shard_step,
 )
 from .train import MeanIoU, set_learning_rate, get_learning_rate
-from .train.callbacks import ReduceLROnPlateau
+from .train.callbacks import LRSchedule, ReduceLROnPlateau
 from .train.checkpoint import (
     MODEL_DIR,
     checkpoint_exists,
@@ -361,6 +361,15 @@ class SemanticSegmentation:
         from .utils.preemption import Preempted, PreemptionGuard
 
         plateau = ReduceLROnPlateau(self.hps.reduce_lr_factor, patience=5, min_lr=1e-8)
+        # extra key 'lr_schedule': per-epoch LR schedule (poly/exponential);
+        # replaces the plateau callback when set (see train/callbacks.py)
+        sched_spec = self.conf.extra.get("lr_schedule")
+        schedule = (
+            LRSchedule(sched_spec if isinstance(sched_spec, dict) else {},
+                       self.hps.lr, self.hps.epochs,
+                       default_factor=self.hps.reduce_lr_factor)
+            if sched_spec else None
+        )
         logger = MetricsLogger(self.conf.extra.get("metrics_log"))
         profile_logdir = self.conf.extra.get("profile_logdir")
 
@@ -387,6 +396,12 @@ class SemanticSegmentation:
           self.hps.val_step = val_loader.steps()
           for epoch in range(self.hps.epochs):
             t0 = time.time()
+            if schedule is not None:
+                sched_lr = schedule.lr(epoch)
+                if sched_lr != get_learning_rate(self.state.opt_state):
+                    self.state = self.state.replace(
+                        opt_state=set_learning_rate(self.state.opt_state, sched_lr)
+                    )
             losses = []
             miou = MeanIoU(self.nn_arch.num_classes)
             timer = StepTimer(warmup=1)
@@ -442,7 +457,7 @@ class SemanticSegmentation:
             history["val_miou"].append(val_miou.result())
 
             lr = get_learning_rate(self.state.opt_state)
-            new_lr = plateau.update(train_loss, lr)
+            new_lr = lr if schedule is not None else plateau.update(train_loss, lr)
             if new_lr != lr:
                 self.state = self.state.replace(
                     opt_state=set_learning_rate(self.state.opt_state, new_lr)

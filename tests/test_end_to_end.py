@@ -92,6 +92,27 @@ def test_train_produces_finite_history_and_checkpoint(workspace, trained):
     assert ss.hps.tr_step == 2 and ss.hps.val_step == 2
 
 
+def test_lr_schedule_drives_per_epoch_lr(workspace, tmp_path):
+    """extra key 'lr_schedule': the logged per-epoch LR must follow the
+    schedule (here the reference's commented-out exponential sketch,
+    :992-998) instead of ReduceLROnPlateau."""
+    from deeplabv3plus_keras_tpu import SemanticSegmentation
+
+    conf = small_conf_dict(workspace)
+    conf["hps"]["epochs"] = 2
+    conf["nn_arch"]["image_size"] = 32
+    conf["lr_schedule"] = {"type": "exponential", "factor": 0.5}
+    log_path = str(tmp_path / "metrics.jsonl")
+    conf["metrics_log"] = log_path
+    ss = SemanticSegmentation(conf, work_dir=str(tmp_path))
+    history = ss.train()
+    assert len(history["loss"]) == 2
+    logged = [json.loads(l) for l in open(log_path)]
+    lrs = [e["lr"] for e in logged if "lr" in e]
+    lr0 = conf["hps"]["lr"]
+    np.testing.assert_allclose(lrs, [lr0, lr0 * 0.5], rtol=1e-6)
+
+
 def test_reload_and_evaluate_with_result_saving(workspace, trained):
     from deeplabv3plus_keras_tpu import SemanticSegmentation
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deeplabv3plus_keras_tpu.train import (
     SS_NW,
@@ -175,6 +176,35 @@ def test_set_learning_rate_roundtrip():
     assert abs(get_learning_rate(st) - 0.01) < 1e-9
     st = set_learning_rate(st, 0.005)
     assert abs(get_learning_rate(st) - 0.005) < 1e-9
+
+
+def test_lr_schedule_poly_and_exponential():
+    from deeplabv3plus_keras_tpu.train.callbacks import LRSchedule
+
+    # exponential: the reference's commented-out scheduler (:992-998)
+    exp = LRSchedule({"type": "exponential", "factor": 0.5}, 0.01, 4)
+    np.testing.assert_allclose(
+        [exp.lr(e) for e in range(4)], [0.01, 0.005, 0.0025, 0.00125]
+    )
+    # factor defaults to reduce_lr_factor
+    assert LRSchedule({"type": "exponential"}, 1.0, 3, default_factor=0.9).lr(1) == 0.9
+
+    # poly: DeepLab recipe, (1 - e/E)^p toward end_lr
+    poly = LRSchedule({"type": "poly", "power": 0.9, "end_lr": 1e-6}, 0.01, 10)
+    assert poly.lr(0) == 0.01
+    expected = (0.01 - 1e-6) * (1 - 5 / 10) ** 0.9 + 1e-6
+    np.testing.assert_allclose(poly.lr(5), expected, rtol=1e-12)
+    # monotone nonincreasing, never below end_lr, clamped at the last epoch
+    lrs = [poly.lr(e) for e in range(10)]
+    assert all(a >= b for a, b in zip(lrs, lrs[1:])) and lrs[-1] >= 1e-6
+    assert poly.lr(99) == poly.lr(9)  # past-the-end clamp
+
+    # defaults: type poly, power 0.9, end_lr 0
+    dflt = LRSchedule({}, 0.01, 10)
+    np.testing.assert_allclose(dflt.lr(5), 0.01 * 0.5**0.9, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        LRSchedule({"type": "cosine"}, 0.01, 10)
 
 
 def test_reduce_lr_on_plateau():
