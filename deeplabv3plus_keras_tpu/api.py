@@ -394,7 +394,26 @@ class SemanticSegmentation:
             return history
           self.hps.tr_step = tr_loader.steps()
           self.hps.val_step = val_loader.steps()
-          for epoch in range(self.hps.epochs):
+          # extra key 'resume': continue a preempted/checkpointed run where
+          # it left off instead of the reference's model_loading semantics
+          # (which always trains hps.epochs MORE epochs from the loaded
+          # weights, Keras fit :1000-1009).  The start epoch is derived from
+          # the restored optimizer step; the loader is fast-forwarded so
+          # epoch k reuses exactly the shuffle order it originally had, and
+          # per-epoch LR schedules pick up at the true epoch index.  A
+          # mid-epoch preemption replays its partial epoch from the top
+          # (weights keep the extra steps; data order is unchanged).
+          start_epoch = 0
+          if self.conf.extra.get("resume", False):
+              start_epoch = min(
+                  int(self.state.step) // max(self.hps.tr_step, 1),
+                  self.hps.epochs,
+              )
+              if start_epoch:
+                  tr_loader.set_epoch(start_epoch)
+                  print(f"resume: continuing at epoch {start_epoch + 1}/"
+                        f"{self.hps.epochs} (step {int(self.state.step)})")
+          for epoch in range(start_epoch, self.hps.epochs):
             t0 = time.time()
             if schedule is not None:
                 sched_lr = schedule.lr(epoch)

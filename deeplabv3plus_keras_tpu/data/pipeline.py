@@ -122,6 +122,12 @@ class HostLoader:
     def steps(self) -> int:
         return len(self)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the epoch counter so the NEXT iteration shuffles
+        with ``default_rng(seed + epoch)`` — resuming a preempted run at
+        epoch k reproduces exactly the data order epoch k originally had."""
+        self.epoch = int(epoch)
+
     def _order(self):
         idx = np.arange(len(self.specs))
         if self.shuffle:
@@ -476,6 +482,13 @@ class DeviceDataset:
 
     def steps(self) -> int:
         return len(self)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the epoch counter (incl. the streamed residual's) —
+        see :meth:`HostLoader.set_epoch`."""
+        self.epoch = int(epoch)
+        if self.residual_loader is not None:
+            self.residual_loader.set_epoch(epoch)
 
     def _order(self):
         order = np.arange(self.n)

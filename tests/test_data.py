@@ -70,6 +70,20 @@ def test_loader_shuffle_is_deterministic_per_epoch(voc_root):
     assert n1 != n1b
 
 
+def test_loader_set_epoch_reproduces_resumed_order(voc_root):
+    """set_epoch(k) on a fresh loader reproduces exactly the shuffle order
+    a continuously-run loader had at epoch k — the property the train
+    loop's 'resume' continuation relies on."""
+    specs = pascal_voc_2012(voc_root, MODE_TRAIN)
+    cont = HostLoader(specs, batch_size=2, canvas_size=128, shuffle=True, seed=7)
+    list(cont)  # epoch 0
+    epoch1 = [n for b in cont for n in b["names"]]
+
+    resumed = HostLoader(specs, batch_size=2, canvas_size=128, shuffle=True, seed=7)
+    resumed.set_epoch(1)
+    assert [n for b in resumed for n in b["names"]] == epoch1
+
+
 def test_openimages_source_and_remap(oi_root):
     from deeplabv3plus_keras_tpu.data.openimages import (
         google_open_images_v5,

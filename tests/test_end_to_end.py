@@ -113,6 +113,48 @@ def test_lr_schedule_drives_per_epoch_lr(workspace, tmp_path):
     np.testing.assert_allclose(lrs, [lr0, lr0 * 0.5], rtol=1e-6)
 
 
+def test_resume_matches_uninterrupted_run(workspace, tmp_path):
+    """extra key 'resume': a run checkpointed after epoch 1 of 2 and
+    restarted with model_loading continues at epoch 2 — same shuffle
+    order, same LR bookkeeping — and lands on EXACTLY the parameters of
+    the uninterrupted 2-epoch run.  (The reference's model_loading+train
+    always runs hps.epochs MORE epochs, :1000-1009; that stays the
+    default — 'resume' is the opt-in continuation semantics.)"""
+    import jax
+    from deeplabv3plus_keras_tpu import SemanticSegmentation
+
+    def conf_with(epochs, model_loading=False, resume=False):
+        conf = small_conf_dict(workspace, model_loading=model_loading)
+        conf["hps"]["epochs"] = epochs
+        conf["nn_arch"]["image_size"] = 32
+        if resume:
+            conf["resume"] = True
+        return conf
+
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    ss_full = SemanticSegmentation(conf_with(2), work_dir=str(full_dir))
+    hist_full = ss_full.train()
+    assert len(hist_full["loss"]) == 2
+
+    part_dir = tmp_path / "part"
+    part_dir.mkdir()
+    ss_part = SemanticSegmentation(conf_with(1), work_dir=str(part_dir))
+    ss_part.train()
+
+    ss_res = SemanticSegmentation(
+        conf_with(2, model_loading=True, resume=True), work_dir=str(part_dir)
+    )
+    assert int(ss_res.state.step) == ss_full.hps.tr_step  # restored mid-run
+    hist_res = ss_res.train()
+    assert len(hist_res["loss"]) == 1  # only epoch 2 ran
+
+    leaves_full = jax.tree_util.tree_leaves(ss_full.state.params)
+    leaves_res = jax.tree_util.tree_leaves(ss_res.state.params)
+    for a, b in zip(leaves_full, leaves_res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_reload_and_evaluate_with_result_saving(workspace, trained):
     from deeplabv3plus_keras_tpu import SemanticSegmentation
 
