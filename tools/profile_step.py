@@ -5,7 +5,12 @@ op durations by HLO category and by source line — the tool behind the
 round-3 decoder-tail findings (resize/concat/copy ≈ 12 ms of the 52 ms
 bf16 step) that motivated models/decoder.py + ops/fused_upconv.py.
 
-Usage:  python tools/profile_step.py [bfloat16|float32]   (TPU)
+Usage:  python tools/profile_step.py [bfloat16|float32] [backbone]  (TPU)
+
+``backbone`` defaults to the MobileNetV2 flagship; ``xception`` profiles
+the reference's other headline configuration (its ASPP variant: rates
+6/12/18 + pyramid_pooling) — the MXU-bound case behind the 18% MFU row
+in PERFORMANCE.md.
 """
 
 from __future__ import annotations
@@ -32,10 +37,24 @@ from deeplabv3plus_keras_tpu.parallel import build_train_step, create_train_stat
 STEPS = 5
 
 
-def capture(dtype: str, logdir: str):
+def capture(dtype: str, logdir: str, backbone: str = "mobilenetv2"):
     S, B = 512, 16
     conf = _flagship_conf(image_size=S, batch_size=B)
     conf.hps.dtype = dtype
+    if backbone != "mobilenetv2":
+        conf.base_model = backbone
+    if backbone == "xception":
+        # the reference's xception ASPP (conf.json encoder_middle_conf_xception)
+        from deeplabv3plus_keras_tpu.config import MiddleOp
+
+        conf.nn_arch.encoder_middle_conf = [
+            MiddleOp(op="conv", kernel=3, rate=(1, 1), input=-1),
+            MiddleOp(op="conv", kernel=3, rate=(6, 6), input=0),
+            MiddleOp(op="conv", kernel=3, rate=(12, 12), input=0),
+            MiddleOp(op="conv", kernel=3, rate=(18, 18), input=0),
+            MiddleOp(op="pyramid_pooling", kernel=1, input=0,
+                     target_size_factor=(1, 1)),
+        ]
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
     train_step = jax.jit(build_train_step(model, tx, conf), donate_argnums=(0,))
@@ -99,6 +118,7 @@ def report(logdir: str, top: int = 20):
 
 if __name__ == "__main__":
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
-    logdir = f"/tmp/profile_step_{dtype}"
-    capture(dtype, logdir)
+    backbone = sys.argv[2] if len(sys.argv) > 2 else "mobilenetv2"
+    logdir = f"/tmp/profile_step_{backbone}_{dtype}"
+    capture(dtype, logdir, backbone)
     report(logdir)
