@@ -20,6 +20,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# full-model jit compiles on this 1-core host; caching them makes every
+# re-run after the first dramatically cheaper.  Keyed on HLO + backend, so
+# code changes invalidate exactly the affected entries.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/deeplabv3plus_keras_tpu/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
