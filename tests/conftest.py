@@ -23,12 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compilation cache: the suite's wall time is dominated by
 # full-model jit compiles on this 1-core host; caching them makes every
 # re-run after the first dramatically cheaper.  Keyed on HLO + backend, so
-# code changes invalidate exactly the affected entries.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/deeplabv3plus_keras_tpu/jax_test_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# code changes invalidate exactly the affected entries.  Opt out (for a
+# clean-compile run, or to stop the cache growing) with
+# DLV3_TEST_NO_COMPILE_CACHE=1; clear it by deleting the directory below.
+if not os.environ.get("DLV3_TEST_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/deeplabv3plus_keras_tpu/jax_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Bound on-disk growth across runs/branches (LRU eviction at 2 GiB).
+    jax.config.update("jax_compilation_cache_max_size", 2 << 30)
 
 import numpy as np
 import pytest
