@@ -25,13 +25,13 @@ BN_MOM = 0.9
 WD = 4e-5
 
 
-def _conf(base_model="mobilenetv2"):
+def _conf(base_model="mobilenetv2", output_stride=16):
     from deeplabv3plus_keras_tpu.config import Config, MiddleOp
 
     conf = Config()
     conf.base_model = base_model
     conf.nn_arch.boundary_refinement = True
-    conf.nn_arch.output_stride = 16
+    conf.nn_arch.output_stride = output_stride
     conf.nn_arch.image_size = SIZE
     conf.nn_arch.num_classes = 21
     conf.nn_arch.reduction_size = RS
@@ -52,21 +52,24 @@ class KerasReferenceGraph:
     (:790-954), applied eagerly.  Layer names follow this repo's flax module
     paths so utils.keras_weights can transplant by name.
 
-    ``backbone`` selects the reference's two headline backbones with their
-    exact output-stride-16 cut layers (semantic_segmentation.py:502-504,
-    :518-520)."""
+    ``backbone`` selects the reference's two headline backbones;
+    ``output_stride`` picks the reference's exact cut layer for each stride
+    (semantic_segmentation.py:502-504 MobileNetV2 block_5_add/block_12_add,
+    :518-520 Xception block4_sepconv2_bn/block13_sepconv2_bn) and drives
+    the refinement/decoder upsample factors (:899-902, :941-950)."""
 
-    def __init__(self, backbone: str = "mobilenetv2"):
+    def __init__(self, backbone: str = "mobilenetv2", output_stride: int = 16):
         from tensorflow.keras import layers
 
+        self.output_stride = output_stride
         if backbone == "mobilenetv2":
             from tensorflow.keras.applications import MobileNetV2 as App
 
-            cut = "block_12_add"
+            cut = "block_5_add" if output_stride == 8 else "block_12_add"
         elif backbone == "xception":
             from tensorflow.keras.applications import Xception as App
 
-            cut = "block13_sepconv2_bn"
+            cut = "block4_sepconv2_bn" if output_stride == 8 else "block13_sepconv2_bn"
         else:
             raise ValueError(backbone)
         full = App(input_shape=(SIZE, SIZE, 3), include_top=False, weights=None)
@@ -150,11 +153,14 @@ class KerasReferenceGraph:
 
         low = self.base(x, training=training)  # second backbone run (:930)
         low = relu(self.ref_bn(self.ref_conv(low), training=training))
-        low = up(low, 8)  # output_stride / 2
-        enc = up(enc, 8)
+        half = self.output_stride // 2  # :941-950
+        low = up(low, half)
+        enc = up(enc, half)
         merged = tf.concat([low, enc], axis=-1)
         logits = self.cls_conv(merged)
-        return tf.nn.softmax(up(logits, 2), axis=-1)  # os 16 + refinement → ×2
+        # refinement final factor: os/8 for os=16, os/4 for os=8 (:899-902)
+        final = self.output_stride // (8 if self.output_stride == 16 else 4)
+        return tf.nn.softmax(up(logits, final), axis=-1)
 
     def l2_sum(self):
         """Σ‖W‖² over the kernels the reference regularizes (:817, :838,
@@ -164,15 +170,19 @@ class KerasReferenceGraph:
         return float(sum(np.sum(np.square(l.get_weights()[0])) for l in ks))
 
 
-@pytest.fixture(scope="module")
-def transplanted():
+@pytest.fixture(scope="module", params=[16, 8], ids=["os16", "os8"])
+def transplanted(request):
+    """Both supported output strides (reference asserts os ∈ {8, 16},
+    semantic_segmentation.py:468): os=8 is the reference's quality mode —
+    refinement upsamples ×4 (through the fused composed transposed conv,
+    half=4) and the decoder arm resolves to ×2 via os/4 (:899-902)."""
     from deeplabv3plus_keras_tpu.models import init_model
     from deeplabv3plus_keras_tpu.utils.keras_weights import convert_keras_backbone
 
-    conf = _conf()
+    conf = _conf(output_stride=request.param)
     model, variables = init_model(conf, jax.random.PRNGKey(0))
 
-    ref = KerasReferenceGraph()
+    ref = KerasReferenceGraph(output_stride=request.param)
     x = np.random.default_rng(7).uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
     ref_probs = ref(tf.constant(x)).numpy()  # also builds all eager layers
 
