@@ -4,11 +4,15 @@ MobileNetV2's signature op (reference backbone via keras.applications
 MobileNetV2; our models/backbones/mobilenetv2.py InvertedResidual).  On
 TPU, XLA executes *fp32* convolutions as a ~3-pass bf16 MXU
 decomposition; for a depthwise conv — which has almost no FLOPs — that
-decomposition is pure overhead: ablation shows all depthwise stages
-together cost ~10 ms of the 85 ms fp32 flagship train step, while the
-same stages in a bf16 step cost ~0.5 ms.  One 128²×144 stage measures
-6.2 ms fwd+bwd at 13-21%% of HBM bandwidth (VMEM-fused floor ~0.7 ms);
-XLA reformulations (nine-shifted-FMA, NCHW) do not fix it.
+decomposition is pure overhead: identity-ablation shows a ~10 ms delta
+across all depthwise stages of the 85 ms fp32 flagship train step,
+vs ~0.5 ms in a bf16 step.  NOTE (round 5): the ablation's identity
+preserves the op's tensor TRAFFIC, so these deltas bound the
+removable arithmetic/decomposition share only — the unavoidable
+HBM-traffic cost of the stages (~several ms either dtype) is paid by
+any lowering and is NOT included; see PERFORMANCE.md "Per-site bf16
+depthwise accounting" for the full reconciliation.  XLA
+reformulations (nine-shifted-FMA, NCHW) do not fix the fp32 case.
 
 The stencil is a natural VPU op: nine shift-and-FMA passes.  TPU mapping:
 

@@ -132,12 +132,92 @@ def conv_case(name, B, H, W, Cin, Cout, k):
             print(f"  {label:5s}  {ms:7.3f} ms   {extra:6.1f} TFLOP(or TOP)/s", flush=True)
 
 
+def qpath_case(name, B, H, W, Cin, Cout, k):
+    """The REAL QuantConv inference path from a bf16 activation — quantize
+    (calibrated absmax) → s8×s8→s32 conv → dequantize — against the plain
+    bf16 conv.  This is the number that decides the eligibility gate: the
+    quantize/dequantize elementwise passes cost HBM traffic that the
+    pure-int8 probe above does not charge, and at small channel counts the
+    conv is traffic-bound so that overhead is the whole story."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from deeplabv3plus_keras_tpu.ops.quant import int8_conv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, Cin)), jnp.bfloat16)
+    w32 = jnp.asarray(rng.uniform(-1, 1, (k, k, Cin, Cout)), jnp.float32)
+    w16 = w32.astype(jnp.bfloat16)
+    absmax = jnp.float32(1.0)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w32.shape, ("NHWC", "HWIO", "NHWC"))
+
+    def scan_float(steps):
+        def scan(x, w):
+            def inner(c, _):
+                xp = x + (c * 1e-30).astype(x.dtype)
+                y = jax.lax.conv_general_dilated(
+                    xp, w, (1, 1), "SAME", dimension_numbers=dn
+                )
+                return y[0, 0, 0].astype(jnp.float32).sum() * 1e-30, None
+
+            acc, _ = jax.lax.scan(inner, jnp.float32(0), None, length=steps)
+            return acc
+
+        return jax.jit(scan)
+
+    def scan_quant(steps):
+        def scan(x, w):
+            def inner(c, _):
+                xp = x + (c * 1e-30).astype(x.dtype)
+                y = int8_conv(xp, w, absmax)
+                return y[0, 0, 0].astype(jnp.float32).sum() * 1e-30, None
+
+            acc, _ = jax.lax.scan(inner, jnp.float32(0), None, length=steps)
+            return acc
+
+        return jax.jit(scan)
+
+    rows = []
+    for label, (build, wt) in {
+        "bf16": (scan_float, w16),
+        "int8+q/dq": (scan_quant, w32),
+    }.items():
+        t_lo = timed_s(build(N_LO), x, wt)
+        t_hi = timed_s(build(N_HI), x, wt)
+        ms = (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+        rows.append((label, ms))
+    speedup = rows[0][1] / rows[1][1] if rows[1][1] > 0 else float("nan")
+    print(f"{name}: {B}x{H}x{W}x{Cin} -> {Cout}, k={k}: "
+          f"bf16 {rows[0][1]:.3f} ms vs int8+q/dq {rows[1][1]:.3f} ms "
+          f"= {speedup:.2f}x", flush=True)
+
+
+# The population the MIN_QUANT_CHANNELS=128 gate currently EXCLUDES (thin
+# side 64-96: every MobileNetV2 pointwise, the Xception entry sepconv1)
+# plus at-the-gate controls (min side exactly 128, incl. the odd-spatial
+# entry-flow geometries) — VERDICT r4 item 6: measure the gate's edge
+# instead of assuming it.
+GATE_EDGE_CASES = [
+    ("below pw 96x96 @32²", 16, 32, 32, 96, 96, 1),
+    ("below mnv2 expand 96->576 @32²", 16, 32, 32, 96, 576, 1),
+    ("below mnv2 project 576->96 @32²", 16, 32, 32, 576, 96, 1),
+    ("below xcep entry pw 64->128 @253²", 16, 253, 253, 64, 128, 1),
+    ("at-gate pw 128x128 @32²", 16, 32, 32, 128, 128, 1),
+    ("at-gate xcep entry pw 128->256 @127²", 16, 127, 127, 128, 256, 1),
+    ("at-gate xcep entry pw 256->256 @127²", 16, 127, 127, 256, 256, 1),
+    ("above xcep middle pw 728x728 @32²", 16, 32, 32, 728, 728, 1),
+]
+
+
 if __name__ == "__main__":
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     else:
         wait_for_backend()
     print("device:", jax.devices()[0], flush=True)
+    if "--gate-edge" in sys.argv:
+        for case in GATE_EDGE_CASES:
+            qpath_case(*case)
+        raise SystemExit(0)
     # flagship classifier conv (decoder, half-res under refinement)
     conv_case("classifier", 16, 256, 256, 304, 21, 3)
     # Xception middle-flow pointwise
