@@ -55,18 +55,41 @@ def _flops_per_step(step_fn, *args):
         return None
 
 
+def _xception_aspp():
+    """The reference's ``encoder_middle_conf_xception`` (conf.json: rates
+    6/12/18 + pyramid_pooling, built at semantic_segmentation.py:841-856) —
+    the middle conf the reference actually pairs with the Xception
+    backbone.  Since round 5 every Xception bench row uses it (rounds ≤4
+    used the flagship MobileNetV2 middle conf; measured within ~2% of each
+    other at 512² — see PERFORMANCE.md "Xception flagship")."""
+    from deeplabv3plus_keras_tpu.config import MiddleOp
+
+    return [
+        MiddleOp(op="conv", kernel=3, rate=(1, 1), input=-1),
+        MiddleOp(op="conv", kernel=3, rate=(6, 6), input=0),
+        MiddleOp(op="conv", kernel=3, rate=(12, 12), input=0),
+        MiddleOp(op="conv", kernel=3, rate=(18, 18), input=0),
+        MiddleOp(op="pyramid_pooling", kernel=1, input=0,
+                 target_size_factor=(1, 1)),
+    ]
+
+
 def _addon_rows(
     image_size: int, batch_size: int, steps: int, repeats: int, dtype: str,
     base_model: str = "mobilenetv2", prefix: str = "",
     measure=("train",), int8: bool = False, mfu: bool = False,
+    output_stride: int = 16,
 ):
-    """img/s rows for an add-on configuration (bf16 / Xception / int8),
-    same scan + full-tree-block methodology as the main measurement.
+    """img/s rows for an add-on configuration (bf16 / Xception / int8 /
+    output-stride 8), same scan + full-tree-block methodology as the main
+    measurement.
 
     ``measure``: any of 'train'/'infer'. ``int8``: additionally measure the
     PTQ int8 inference path (ops/quant.py; calibrated on the bench batch —
     calibration data is irrelevant to throughput).  ``mfu``: add XLA
-    cost-analysis FLOPs + MFU for the train step."""
+    cost-analysis FLOPs + MFU for the train step.  ``output_stride``: 8 is
+    the reference's quality mode (semantic_segmentation.py:468) — stride-8
+    features are 4× larger, so these rows price the quality lever."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,6 +104,9 @@ def _addon_rows(
 
     conf = _flagship_conf(image_size=image_size, batch_size=batch_size)
     conf.base_model = base_model
+    conf.nn_arch.output_stride = output_stride
+    if base_model == "xception":
+        conf.nn_arch.encoder_middle_conf = _xception_aspp()
     conf.hps.dtype = dtype
     model, variables = init_model(conf, jax.random.PRNGKey(0))
     state, tx = create_train_state(conf, variables)
@@ -167,7 +193,14 @@ def _addon_rows(
     return rows
 
 
-def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: int = 3, dtype: str = "float32", addons: bool = True):
+def run(image_size: int = 512, batch_size: int = 8, steps: int = 50, repeats: int = 3, dtype: str = "float32", addons: bool = True):
+    # steps=50 since round 5: the tunnel's FIXED per-call dispatch+fetch
+    # cost (~85 ms quiet, measured by scan-length slope on the Xception
+    # bf16 step: 20-step scan 71.0 ms/step, 50-step 68.46 → fixed 84.7 ms,
+    # true step 66.8 ms) divided by a 10-step scan inflated every recorded
+    # step time by ~5-8 ms.  Longer scans amortize it to ≤1.7 ms; the
+    # residual keeps the numbers conservative.  Recorded in the detail as
+    # "scan_steps" so rounds are comparable.
     import jax
 
     # persistent compile cache: repeat bench invocations skip the ~3 min
@@ -309,6 +342,25 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
                         base_model="xception", prefix="xception_bf16_",
                         measure=("train", "infer"), int8=True, mfu=True)
         )
+        # output_stride 8 — the reference's quality mode (stride-8 features
+        # are 4× larger; VERDICT r4 item 4b: the quality half of the
+        # configuration space needs measured perf, both headline backbones,
+        # fp32 + bf16, train + infer).
+        # batch 8: stride-8 activations are 4× os16's (Xception middle flow
+        # holds 26 × 64²×728 tensors for the backward) — batch 16 would
+        # press the 16 GB HBM; img/s rows stay batch-normalized.
+        os8_batch = min(batch_size, 8)
+        for bm, key in (("mobilenetv2", "mnv2"), ("xception", "xception")):
+            for dt in ("float32", "bfloat16"):
+                prefix = f"os8_{key}_{'fp32' if dt == 'float32' else 'bf16'}_"
+                extra.update(
+                    _addon_rows(
+                        image_size, os8_batch, steps, repeats, dt,
+                        base_model=bm, prefix=prefix,
+                        measure=("train", "infer"), output_stride=8,
+                    )
+                )
+                extra[f"{prefix}batch_size"] = os8_batch
     return {
         "metric": "512x512 images/sec/chip (infer + train step), MobileNetV2+refinement",
         "value": round(combined, 3),
@@ -323,6 +375,7 @@ def run(image_size: int = 512, batch_size: int = 8, steps: int = 10, repeats: in
             "batch_size": B,
             "image_size": image_size,
             "dtype": dtype,
+            "scan_steps": steps,
             "device": str(jax.devices()[0]),
             "tunnel_probe_ms": probe_ms,
             # Whether the depthwise Pallas stencils were live for the fp32

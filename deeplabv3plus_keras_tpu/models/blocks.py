@@ -106,7 +106,8 @@ class QuantConv(nn.Module):
             self.param_dtype,
         )
         strides = (self.strides, self.strides)
-        if quant.eligible(cin, self.features) and not self.is_initializing():
+        pixels = int(x.shape[1]) * int(x.shape[2]) if x.ndim == 4 else None
+        if quant.eligible(cin, self.features, pixels) and not self.is_initializing():
             if self.is_mutable_collection("quant"):
                 amax = self.variable(
                     "quant", "in_absmax", lambda: jnp.zeros((), jnp.float32)

@@ -43,13 +43,29 @@ from jax import lax
 
 # Both channel counts must reach one MXU tile side for int8 to pay
 # (measured: tools/int8_probe.py — 728×728 pointwise 1.6-2×, the 304→21
-# classifier nil).
+# classifier nil).  The round-5 gate-edge probe (--gate-edge) confirmed
+# the 128 threshold per geometry: every below-gate member of the excluded
+# population measures 0.87-1.01× through the real quantize→conv→dequant
+# path — int8 never pays there even before fusion credit.
 MIN_QUANT_CHANNELS = 128
 
+# Spatial gate: at large spatial sizes the per-tensor quantize/dequantize
+# passes scale with H·W while the MXU win does not — the 127² entry-flow
+# pointwise convs measured 0.18× (5× SLOWER) through q/dq standalone
+# (tools/int8_probe.py --gate-edge), eroding the middle-flow win.  Sites
+# with more than MAX_QUANT_PIXELS spatial positions stay float; None
+# disables the gate (tools/int8_spatial_ab.py A/Bs it in-model).
+MAX_QUANT_PIXELS: int | None = 4096  # 64² — middle/exit flow at 512² os16
 
-def eligible(cin: int, cout: int) -> bool:
-    """Is a conv with these channel counts worth quantizing on the MXU?"""
-    return min(int(cin), int(cout)) >= MIN_QUANT_CHANNELS
+
+def eligible(cin: int, cout: int, pixels: int | None = None) -> bool:
+    """Is a conv with these channel counts (and, when known, this many
+    spatial positions) worth quantizing on the MXU?"""
+    if min(int(cin), int(cout)) < MIN_QUANT_CHANNELS:
+        return False
+    if pixels is not None and MAX_QUANT_PIXELS is not None:
+        return int(pixels) <= MAX_QUANT_PIXELS
+    return True
 
 
 def quantize_weight_per_channel(w):

@@ -172,6 +172,42 @@ def tf_resize_images(x: jax.Array, height_factor: int, width_factor: int):
     return jax.image.resize(x, shape, method="linear", antialias=False)
 
 
+def _axis_x2_shift(x: jax.Array, axis: int):
+    """×2 bilinear upsample along ``axis`` (TF half-pixel centers) as two
+    2-tap lerp phases interleaved by stack+reshape.
+
+    src(o) = (o+0.5)/2 − 0.5: even outputs tap (i−1, i) with weights
+    (0.25, 0.75), odd outputs tap (i, i+1) with (0.75, 0.25), edges
+    clamped — exactly ``jax.image.resize(..., 'linear')``'s taps, with no
+    conv/matmul/gather lowering (pure shifted slices + elementwise)."""
+    import jax.lax as _lax
+
+    axis = axis % x.ndim
+    first = _lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = _lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    prev = jnp.concatenate(
+        [first, _lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis
+    )
+    nxt = jnp.concatenate(
+        [_lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), last], axis
+    )
+    c25 = jnp.asarray(0.25, x.dtype)
+    c75 = jnp.asarray(0.75, x.dtype)
+    p_even = c25 * prev + c75 * x
+    p_odd = c75 * x + c25 * nxt
+    y = jnp.stack([p_even, p_odd], axis=axis + 1)
+    return y.reshape(x.shape[:axis] + (2 * x.shape[axis],) + x.shape[axis + 1 :])
+
+
+def tf_resize_images_x2_shift(x: jax.Array):
+    """``tf_resize_images(x, 2, 2)`` as shift-lerp-interleave (see
+    :func:`_axis_x2_shift`) — the decoder's final ×2 logits upsample form
+    for bf16, where the conv lowering measured 2.9 ms + 2.3 ms of layout
+    transposes per train step at (16,256,256,21) vs a ~0.3 ms traffic
+    floor (tools/tail_ab.py; 21-channel lane padding + lhs_dilation)."""
+    return _axis_x2_shift(_axis_x2_shift(x, x.ndim - 3), x.ndim - 2)
+
+
 def tf_resize_images_matmul(x: jax.Array, height_factor: int, width_factor: int):
     """``tf_resize_images`` computed as two interpolation-matrix
     contractions instead of XLA's convolution lowering.

@@ -176,14 +176,18 @@ def qpath_case(name, B, H, W, Cin, Cout, k):
 
         return jax.jit(scan)
 
+    # Long single scans, not slope timing: under sustained congestion the
+    # fixed cost VARIES 100-1000 ms between the two scan lengths, and the
+    # slope inherits that variation directly — measured nonsense (negative
+    # per-step times) for sub-ms ops.  At N=400 the fixed cost contributes
+    # ≤ ~2.5 µs/step however congested.
+    N = 400
     rows = []
     for label, (build, wt) in {
         "bf16": (scan_float, w16),
         "int8+q/dq": (scan_quant, w32),
     }.items():
-        t_lo = timed_s(build(N_LO), x, wt)
-        t_hi = timed_s(build(N_HI), x, wt)
-        ms = (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+        ms = timed_s(build(N), x, wt) / N * 1e3
         rows.append((label, ms))
     speedup = rows[0][1] / rows[1][1] if rows[1][1] > 0 else float("nan")
     print(f"{name}: {B}x{H}x{W}x{Cin} -> {Cout}, k={k}: "
