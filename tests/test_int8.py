@@ -98,6 +98,44 @@ def test_calibration_covers_only_eligible_sites():
     assert any("projection" in n for n in names), names
 
 
+def test_spatial_gate_excludes_large_maps():
+    """Round-5 spatial gate (quant.MAX_QUANT_PIXELS): channel-eligible
+    convs at spatial sizes above the gate stay float (the 127²-entry
+    q/dq path measured 5× slower standalone, e2e-neutral — probe table
+    in PERFORMANCE.md), while small-map sites keep calibrating; the
+    quantized model still runs and matches float predictions."""
+    # Xception: eligible pointwise sites live at three spatial sizes at
+    # image 64 (block3 pw at 16²=256 px, block4 at 8²=64 px, middle flow
+    # at 4²=16 px), so the spatial gate has a population to split.
+    conf = _conf(reduction=128, size=64, batch=2)
+    conf.base_model = "xception"
+    model, variables = init_model(conf, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    orig = quant.MAX_QUANT_PIXELS
+    try:
+        quant.MAX_QUANT_PIXELS = None
+        q_all = quant.calibrate(model, variables, [x])
+        n_all = len(jax.tree.leaves(q_all))
+        # gate below every site's pixel count
+        quant.MAX_QUANT_PIXELS = 8
+        with pytest.raises(ValueError, match="no quantizable conv"):
+            quant.calibrate(model, variables, [x])
+        # gate admitting only the smaller maps: strictly fewer sites
+        # than ungated, and inference still agrees with float
+        quant.MAX_QUANT_PIXELS = 64
+        q_small = quant.calibrate(model, variables, [x])
+        n_small = len(jax.tree.leaves(q_small))
+        assert 0 < n_small < n_all, (n_small, n_all)
+        probs_f = model.apply(variables, jnp.asarray(x), train=False)
+        probs_q = model.apply(
+            dict(variables, quant=q_small), jnp.asarray(x), train=False
+        )
+        assert float(jnp.abs(probs_f - probs_q).max()) < 0.15
+    finally:
+        quant.MAX_QUANT_PIXELS = orig
+
+
 def test_int8_sites_in_swapped_backbones():
     """Round-4 QuantConv swap inside the backbones (DenseNet dense-layer
     bottlenecks + transition convs, EfficientNet MBConv expand/project,
