@@ -32,8 +32,11 @@ if not os.environ.get("DLV3_TEST_NO_COMPILE_CACHE"):
         os.path.expanduser("~/.cache/deeplabv3plus_keras_tpu/jax_test_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    # Bound on-disk growth across runs/branches (LRU eviction at 2 GiB).
-    jax.config.update("jax_compilation_cache_max_size", 2 << 30)
+    # NOTE: jax_compilation_cache_max_size (LRU eviction) was tried and
+    # reverted — this JAX's eviction races on its '-atime' bookkeeping
+    # files under concurrent test runs, and the resulting UserWarning
+    # trips warning-sensitive tests (test_kernels probe).  Growth is
+    # managed by deleting the directory; see the opt-out above.
 
 import numpy as np
 import pytest
