@@ -251,6 +251,29 @@ def test_nondegenerate_halo_eval_invariant():
     _assert_eval_mesh_invariant(conf, batch, [(2, 2), (4, 2)])
 
 
+def test_os8_spatial_mesh_invariant():
+    """output_stride 8 (the reference's quality mode, cut block_5_add)
+    under spatial sharding: stride-8 features at image 128 are 16×16, a
+    2-way 'space' shard holds 8 rows, rates 3/6 halo inside the shard
+    extent; refinement upsamples ×4 through the fused transposed conv.
+    Eval must match the single-device step — closes the os8 × SPMD cross
+    product (os16 is covered by every test above)."""
+    conf = tiny_conf(4)
+    conf.nn_arch.image_size = 128
+    conf.nn_arch.output_stride = 8
+    conf.nn_arch.boundary_refinement = True
+    conf.nn_arch.encoder_middle_conf = [
+        MiddleOp(op="conv", kernel=1, input=-1),
+        MiddleOp(op="conv", kernel=3, rate=(3, 3), input=0),
+        MiddleOp(op="conv", kernel=3, rate=(6, 6), input=0),
+        MiddleOp(
+            op="pyramid_pooling", kernel=4, input=0, target_size_factor=(4, 4)
+        ),
+    ]
+    batch = _make_batch(4, 128)
+    _assert_eval_mesh_invariant(conf, batch, [(2, 2), (4, 2)])
+
+
 def test_nondegenerate_halo_train_invariant():
     """One full train step (grads + Adam + BN stats) in the same
     non-degenerate halo regime on a (2,2) mesh vs one device."""
