@@ -27,7 +27,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 50
+# 400 iterations: the tunnel's FIXED per-call dispatch cost (~85 ms quiet,
+# measured round 5 by scan-length slope) divided by 50 iterations added
+# ~1.7 ms to every recorded batch-1 latency — a 2x overstatement of a
+# ~2 ms step.  At 400 the bias is ~0.2 ms.
+ITERS = 400
 REPEATS = 3
 
 
@@ -38,7 +42,7 @@ def tunnel_probe_ms() -> float:
     return (time.perf_counter() - t0) * 1e3
 
 
-def measure(backbone: str, dtype: str, size: int = 512) -> dict:
+def measure(backbone: str, dtype: str, size: int = 512, output_stride: int = 16) -> dict:
     from __graft_entry__ import _flagship_conf
     from deeplabv3plus_keras_tpu.models import init_model
     from deeplabv3plus_keras_tpu.parallel.step import (
@@ -48,6 +52,7 @@ def measure(backbone: str, dtype: str, size: int = 512) -> dict:
 
     conf = _flagship_conf(image_size=size, batch_size=1)
     conf.hps.dtype = dtype
+    conf.nn_arch.output_stride = output_stride
     if backbone != "mobilenetv2":
         conf.base_model = backbone
     if backbone == "xception":
@@ -92,6 +97,7 @@ def measure(backbone: str, dtype: str, size: int = 512) -> dict:
     return {
         "backbone": backbone,
         "dtype": dtype,
+        "output_stride": output_stride,
         "latency_ms": round(best_ms, 2),
         "tunnel_probe_ms": round(probe, 1),
     }
@@ -99,10 +105,12 @@ def measure(backbone: str, dtype: str, size: int = 512) -> dict:
 
 def main():
     print(f"device: {jax.devices()[0].device_kind}")
-    for backbone in ("mobilenetv2", "xception"):
-        for dtype in ("float32", "bfloat16"):
-            r = measure(backbone, dtype)
-            print(r)
+    strides = (16, 8) if "--os8" in sys.argv else (16,)
+    for output_stride in strides:
+        for backbone in ("mobilenetv2", "xception"):
+            for dtype in ("float32", "bfloat16"):
+                r = measure(backbone, dtype, output_stride=output_stride)
+                print(r, flush=True)
 
 
 if __name__ == "__main__":
